@@ -1,0 +1,25 @@
+"""Test configuration: run the whole suite on a virtual 8-device CPU platform.
+
+Multi-chip sharding is validated on a faked pod via
+``--xla_force_host_platform_device_count=8`` (the JAX-native way to test pjit
+layouts without hardware); kernels fall back to their XLA reference paths on CPU.
+Must run before the first ``import jax`` anywhere in the suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import jax
+
+    return jax.random.PRNGKey(0)
