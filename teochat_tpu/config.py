@@ -1,0 +1,234 @@
+"""Configuration tree for the TEOChat TPU stack.
+
+One frozen-dataclass config per subsystem, composed into `TEOChatConfig`. This
+replaces the reference's three config mechanisms (HF config.json fields spread
+across llava_arch.py:63-108, HfArgumentParser dataclasses train.py:48-120, and
+DeepSpeed JSON) with a single serializable tree; `from_hf_dict` importers keep
+checkpoint-compat with the reference's persisted config.json keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    """CLIP ViT tower (reference: LanguageBind_Image ViT-L/14, modeling_image.py).
+
+    One implementation parameterized by config replaces the reference's five
+    near-identical vendored CLIP copies (SURVEY §2 M6). `add_time_attn` enables
+    the per-layer temporal attention block of the video tower
+    (modeling_video.py:105-134 behavior).
+    """
+
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
+    # Feature extraction for the LLaVA tower (reference languagebind/__init__.py:121-129)
+    select_layer: int = -2
+    select_feature: str = "patch"
+    # Video-tower temporal attention (reference modeling_video.py:65-158)
+    add_time_attn: bool = False
+    num_frames: int = 8
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def num_positions(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class ProjectorConfig:
+    """Vision-language projector (reference multimodal_projector/builder.py:33-51)."""
+
+    projector_type: str = "mlp2x_gelu"  # linear | mlp{N}x_gelu | identity
+    mm_hidden_size: int = 1024
+    hidden_size: int = 4096
+
+    @property
+    def depth(self) -> int:
+        if self.projector_type == "linear":
+            return 1
+        m = re.match(r"^mlp(\d+)x_gelu$", self.projector_type)
+        if m:
+            return int(m.group(1))
+        if self.projector_type == "identity":
+            return 0
+        raise ValueError(f"Unknown projector type: {self.projector_type}")
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    """LLaMA-2 decoder (production: 7B Vicuna v1.5 via Video-LLaVA-7B)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    max_position_embeddings: int = 4096
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class MptConfig:
+    """MPT decoder variant (reference model/language_model/mpt/): ALiBi, no RoPE."""
+
+    vocab_size: int = 50368
+    d_model: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    expansion_ratio: int = 4
+    max_seq_len: int = 2048
+    alibi_bias_max: int = 8
+    # multiquery -> 1 kv head; torch-impl default is full MHA
+    attn_type: str = "multihead_attention"  # or "multiquery_attention"
+    no_bias: bool = True
+    learned_pos_emb: bool = False
+    logit_scale: Optional[float] = None
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Decode-time knobs (reference eval defaults: eval.py:47-53, inference.py:64-72)."""
+
+    max_new_tokens: int = 256
+    temperature: float = 0.2
+    do_sample: bool = True
+    top_p: float = 1.0
+    stop_strings: Tuple[str, ...] = ("</s>",)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout: (data, fsdp, model) axes over ICI (SURVEY §2.4)."""
+
+    data: int = 1
+    fsdp: int = 1
+    model: int = 1
+    axis_names: Tuple[str, str, str] = ("data", "fsdp", "model")
+
+
+@dataclass(frozen=True)
+class TEOChatConfig:
+    """Top-level model config: tower + projector + decoder + fusion knobs."""
+
+    vision: VisionConfig = field(default_factory=VisionConfig)
+    projector: ProjectorConfig = field(default_factory=ProjectorConfig)
+    llm: LlamaConfig = field(default_factory=LlamaConfig)
+    llm_backend: str = "llama"  # llama | mpt
+    # Fusion knobs persisted by the reference into config.json (llava_arch.py:63-108)
+    mm_vision_select_layer: int = -2
+    mm_vision_select_feature: str = "patch"
+    mm_use_im_start_end: bool = False
+    mm_use_im_patch_token: bool = False
+    image_aspect_ratio: Optional[str] = None
+    tokenizer_padding_side: str = "right"
+    tokenizer_model_max_length: int = 3072
+    max_sequence_length: int = 2048
+    # Runtime
+    dtype: str = "bfloat16"
+    quant: Optional[str] = None  # None | "int8"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "TEOChatConfig":
+        d = json.loads(s)
+        return TEOChatConfig(
+            vision=VisionConfig(**d.pop("vision")),
+            projector=ProjectorConfig(**d.pop("projector")),
+            llm=LlamaConfig(**{k: (tuple(v) if isinstance(v, list) else v) for k, v in d.pop("llm").items()}),
+            **d,
+        )
+
+
+def tiny_test_config(
+    vocab_size: int = 128,
+    add_time_attn: bool = False,
+) -> TEOChatConfig:
+    """A tiny randomly-initializable config for CPU tests and parity checks."""
+    vision = VisionConfig(
+        image_size=28,
+        patch_size=14,
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=3,
+        num_heads=4,
+        add_time_attn=add_time_attn,
+        num_frames=4,
+    )
+    llm = LlamaConfig(
+        vocab_size=vocab_size,
+        hidden_size=64,
+        intermediate_size=128,
+        num_layers=3,
+        num_heads=4,
+        num_kv_heads=4,
+        max_position_embeddings=512,
+    )
+    projector = ProjectorConfig(mm_hidden_size=32, hidden_size=64)
+    return TEOChatConfig(vision=vision, projector=projector, llm=llm)
+
+
+def llama_config_from_hf(d: Dict[str, Any]) -> LlamaConfig:
+    """Import an HF LLaMA config.json dict (checkpoint-compat path)."""
+    return LlamaConfig(
+        vocab_size=d["vocab_size"],
+        hidden_size=d["hidden_size"],
+        intermediate_size=d["intermediate_size"],
+        num_layers=d["num_hidden_layers"],
+        num_heads=d["num_attention_heads"],
+        num_kv_heads=d.get("num_key_value_heads", d["num_attention_heads"]),
+        rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+        rope_theta=d.get("rope_theta", 10000.0),
+        max_position_embeddings=d.get("max_position_embeddings", 4096),
+        bos_token_id=d.get("bos_token_id", 1),
+        eos_token_id=d.get("eos_token_id", 2),
+        pad_token_id=d.get("pad_token_id", 0) or 0,
+        tie_word_embeddings=d.get("tie_word_embeddings", False),
+    )
+
+
+def vision_config_from_hf(d: Dict[str, Any]) -> VisionConfig:
+    """Import an HF CLIPVisionConfig dict (LanguageBind image tower layout)."""
+    return VisionConfig(
+        image_size=d.get("image_size", 224),
+        patch_size=d.get("patch_size", 14),
+        hidden_size=d.get("hidden_size", 1024),
+        intermediate_size=d.get("intermediate_size", 4096),
+        num_layers=d.get("num_hidden_layers", 24),
+        num_heads=d.get("num_attention_heads", 16),
+        layer_norm_eps=d.get("layer_norm_eps", 1e-5),
+        hidden_act=d.get("hidden_act", "quick_gelu"),
+        add_time_attn=d.get("add_time_attn", False),
+        num_frames=d.get("num_frames", 8),
+    )

@@ -1,0 +1,266 @@
+"""LLaMA-2 decoder — functional, scan-over-layers, ragged-batch KV cache.
+
+TPU-first rebuild of the reference's decoder path (HF LlamaForCausalLM as used
+by videollava/model/language_model/llava_llama.py:33-99):
+- stacked per-layer params + `lax.scan` (one traced layer body, not 32);
+- RoPE in the HF rotate-half convention (checkpoint-compatible);
+- KV cache as [L, B, T_max, H_kv, D] pytree threaded through the scan as
+  per-layer xs/ys — decode steps write at a *per-row* slot index (scatter), so
+  ragged batches need no left-padding (the reference pads left,
+  llava_arch.py:302-331; here position ids and masks carry raggedness);
+- fp32 RMSNorm/softmax, bf16 matmuls; prefill attention routes to the Pallas
+  flash kernel on TPU via ops.attention dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import LlamaConfig
+from teochat_tpu.ops.attention import dot_product_attention
+
+Params = Dict
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    k: jnp.ndarray  # [L, B, T_max, H_kv, D]
+    v: jnp.ndarray  # [L, B, T_max, H_kv, D]
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    y = x32 * jax.lax.rsqrt(var + eps)
+    # HF casts back to the weight dtype *before* multiplying by the scale
+    return (y.astype(x.dtype) * scale.astype(x.dtype))
+
+
+def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for HF rotate-half RoPE. positions: [...] -> [..., head_dim]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [..., head_dim/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, H, D]; cos/sin: [B, S, D] (HF rotate-half convention)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[:, :, None, :].astype(jnp.float32)
+    sin = sin[:, :, None, :].astype(jnp.float32)
+    return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
+
+
+def _proj(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    return jnp.einsum(
+        "...d,df->...f", x, p["kernel"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def _attention_layer(
+    x: jnp.ndarray,
+    lp: Params,
+    cfg: LlamaConfig,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    kv_mask: Optional[jnp.ndarray],
+    q_slots: Optional[jnp.ndarray],
+    k_cache: Optional[jnp.ndarray],
+    v_cache: Optional[jnp.ndarray],
+    write_slots: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """Self-attention with optional KV cache.
+
+    x: [B, S, D]; k_cache/v_cache: [B, T_max, H_kv, Hd]; write_slots: [B, S]
+    slot index for each new token; q_slots: [B, S] slot of each query (for
+    causal masking against cache slots); kv_mask: [B, T_max] validity.
+    """
+    b, s, _ = x.shape
+    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = _proj(x, lp["q"]).reshape(b, s, h, hd)
+    k = _proj(x, lp["k"]).reshape(b, s, hkv, hd)
+    v = _proj(x, lp["v"]).reshape(b, s, hkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if k_cache is None:
+        # cache-free path: plain causal self-attention over S (plus padding mask)
+        out = dot_product_attention(q, k, v, causal=True, mask=kv_mask)
+    else:
+        batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+        k_cache = k_cache.at[batch_idx, write_slots].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[batch_idx, write_slots].set(v.astype(v_cache.dtype))
+        t_max = k_cache.shape[1]
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, t_max), 2)
+        mask = slot_ids <= q_slots[:, :, None]
+        if kv_mask is not None:
+            mask = mask & kv_mask[:, None, :]
+        out = dot_product_attention(
+            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask=mask
+        )
+    out = out.reshape(b, s, h * hd)
+    return _proj(out, lp["out"]), k_cache, v_cache
+
+
+def _mlp(x: jnp.ndarray, lp: Params) -> jnp.ndarray:
+    gate = jax.nn.silu(_proj(x, lp["gate"]).astype(jnp.float32)).astype(x.dtype)
+    return _proj(gate * _proj(x, lp["up"]), lp["down"])
+
+
+def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache, write_slots):
+    y = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+    attn_out, k_cache, v_cache = _attention_layer(
+        y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache, write_slots
+    )
+    x = x + attn_out
+    y = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
+    return x + _mlp(y, lp["mlp"]), k_cache, v_cache
+
+
+def embed_tokens(params: Params, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    emb = params["embed_tokens"]["embedding"]
+    if dtype is not None:
+        emb = emb.astype(dtype)
+    return jnp.take(emb, input_ids, axis=0)
+
+
+def llama_forward(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,
+    *,
+    position_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    cache: Optional[KVCache] = None,
+    write_slots: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    logits_mode: str = "all",  # all | last | none
+    last_index: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the decoder stack.
+
+    inputs_embeds: [B, S, D]; position_ids: [B, S] RoPE positions;
+    attention_mask (cache-free path): [B, S] padding validity;
+    cache + write_slots [B,S] + kv_mask [B,T_max]: cached path (prefill writes
+    S entries; decode writes 1). `last_index`: [B] row-wise index for
+    logits_mode='last'.
+    """
+    x = inputs_embeds
+    b, s, _ = x.shape
+    cos, sin = rope_tables(position_ids, cfg.head_dim, cfg.rope_theta)
+
+    q_slots = write_slots  # queries sit at the slots they are being written to
+
+    layer_fn = _decoder_layer
+    if remat:
+        layer_fn = jax.checkpoint(
+            _decoder_layer, static_argnums=(2,),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
+
+    if cache is None:
+        mask2d = attention_mask
+
+        def body(carry, lp):
+            y, _, _ = layer_fn(carry, lp, cfg, cos, sin, mask2d, None, None, None, None)
+            return y, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+    else:
+
+        def body(carry, xs):
+            lp, kc, vc = xs
+            y, kc, vc = layer_fn(
+                carry, lp, cfg, cos, sin, kv_mask, q_slots, kc, vc, write_slots
+            )
+            return y, (kc, vc)
+
+        x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(k=new_k, v=new_v)
+
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+
+    if logits_mode == "none":
+        return x, new_cache
+    if logits_mode == "last":
+        if last_index is None:
+            x = x[:, -1:]
+        else:
+            x = x[jnp.arange(b), last_index][:, None]
+    head = params.get("lm_head")
+    if head is None:  # tied embeddings
+        logits = jnp.einsum(
+            "bsd,vd->bsv", x, params["embed_tokens"]["embedding"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        logits = jnp.einsum(
+            "bsd,dv->bsv", x, head["kernel"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return logits.astype(jnp.float32), new_cache
+
+
+def init_llama(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.float32) -> Params:
+    """Random init (normal(0.02), HF default) with stacked layers."""
+    keys = iter(jax.random.split(rng, 32))
+    d, i_sz, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    hkv_d = cfg.num_kv_heads * cfg.head_dim
+    std = 0.02
+
+    def proj(key, fan_in, fan_out):
+        return {
+            "kernel": (jax.random.normal(key, (L, fan_in, fan_out)) * std).astype(dtype)
+        }
+
+    params = {
+        "embed_tokens": {
+            "embedding": (
+                jax.random.normal(next(keys), (cfg.vocab_size, d)) * std
+            ).astype(dtype)
+        },
+        "layers": {
+            "input_norm": {"scale": jnp.ones((L, d), jnp.float32)},
+            "attn": {
+                "q": proj(next(keys), d, d),
+                "k": proj(next(keys), d, hkv_d),
+                "v": proj(next(keys), d, hkv_d),
+                "out": proj(next(keys), d, d),
+            },
+            "post_attn_norm": {"scale": jnp.ones((L, d), jnp.float32)},
+            "mlp": {
+                "gate": proj(next(keys), d, i_sz),
+                "up": proj(next(keys), d, i_sz),
+                "down": proj(next(keys), i_sz, d),
+            },
+        },
+        "final_norm": {"scale": jnp.ones((d,), jnp.float32)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {
+            "kernel": (jax.random.normal(next(keys), (d, cfg.vocab_size)) * std).astype(dtype)
+        }
+    return params

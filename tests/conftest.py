@@ -8,12 +8,20 @@ Must run before the first ``import jax`` anywhere in the suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The machine env pins JAX_PLATFORMS=axon (the real TPU); the test suite always
+# runs on the virtual CPU platform — TPU-only checks live in bench.py / examples.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# fp32 parity tests need exact matmuls; the default CPU matmul path rounds
+# through bf16-ish precision (env var form of this option is not honored).
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 
