@@ -1,0 +1,180 @@
+"""Device-side generation: fused prefill + `lax.while_loop` decode.
+
+Replaces the reference's HF `generate()` host loop (inference.py:64-72) with a
+single jitted program: prefill writes the KV cache (flash-attention path on
+TPU), then a while_loop runs decode steps entirely on device — per-row ragged
+slots, greedy/temperature sampling, EOS + multi-token keyword stopping
+(KeywordsStoppingCriteria semantics, mm_utils.py:73-104) via a rolling
+last-M-token window. No host sync per token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import LlamaConfig
+from teochat_tpu.models import llama as llama_mod
+from teochat_tpu.models.llama import KVCache
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StopSpec:
+    """Static stopping data: [K, M] keyword ids (0-padded left) + lengths."""
+
+    keyword_ids: jnp.ndarray  # [K, M] int32, right-aligned (suffix order)
+    keyword_lens: jnp.ndarray  # [K] int32
+    eos_id: jnp.ndarray  # scalar int32
+
+
+def make_stop_spec(
+    stop_strings: Sequence[str],
+    tokenizer,
+    eos_id: int,
+) -> StopSpec:
+    """Tokenize stop strings (dropping a leading BOS) into a static id matrix."""
+    bos = getattr(tokenizer, "bos_token_id", None)
+    seqs: List[List[int]] = []
+    for s in stop_strings:
+        ids = list(tokenizer(s).input_ids)
+        if len(ids) > 1 and bos is not None and ids[0] == bos:
+            ids = ids[1:]
+        seqs.append(ids)
+    m = max((len(s) for s in seqs), default=1)
+    k = max(len(seqs), 1)
+    mat = np.zeros((k, m), np.int32)
+    lens = np.zeros((k,), np.int32)
+    for i, s in enumerate(seqs):
+        mat[i, m - len(s):] = s  # right-aligned for suffix compare
+        lens[i] = len(s)
+    return StopSpec(
+        keyword_ids=jnp.asarray(mat),
+        keyword_lens=jnp.asarray(lens),
+        eos_id=jnp.asarray(eos_id, jnp.int32),
+    )
+
+
+def _keyword_hit(window: jnp.ndarray, spec: StopSpec) -> jnp.ndarray:
+    """window: [B, M] last tokens (right-aligned). Returns [B] bool."""
+    m = window.shape[1]
+    pos = jnp.arange(m)
+    # position valid for keyword k iff pos >= M - len_k
+    valid = pos[None, :] >= (m - spec.keyword_lens[:, None])  # [K, M]
+    eq = window[:, None, :] == spec.keyword_ids[None, :, :]  # [B, K, M]
+    hit = jnp.all(eq | ~valid[None], axis=-1)  # [B, K]
+    return jnp.any(hit, axis=-1)
+
+
+def sample_token(
+    logits: jnp.ndarray,  # [B, V] fp32
+    rng: jax.Array,
+    *,
+    temperature: float,
+    do_sample: bool,
+    top_p: float = 1.0,
+) -> jnp.ndarray:
+    """Greedy or temperature/top-p sampling. Static branch (python bools)."""
+    if not do_sample or temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)  # [B]
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "do_sample", "top_p", "pad_id"
+    ),
+)
+def generate_tokens(
+    params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,  # [B, S, D] fused prompt embeddings
+    seq_lens: jnp.ndarray,  # [B] true prompt lengths
+    attention_mask: jnp.ndarray,  # [B, S] prompt validity
+    position_ids: jnp.ndarray,  # [B, S]
+    cache: KVCache,  # zeroed cache, max_len >= S + max_new_tokens
+    stop: StopSpec,
+    rng: jax.Array,
+    *,
+    max_new_tokens: int,
+    temperature: float = 0.0,
+    do_sample: bool = False,
+    top_p: float = 1.0,
+    pad_id: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens [B, max_new_tokens] (pad_id after stop), n_generated [B]).
+
+    Generated tokens INCLUDE the stop keyword (the reference decodes then strips
+    '</s>', inference.py:75-77); callers strip via the tokenizer.
+    """
+    b, s, _ = inputs_embeds.shape
+    t_max = cache.max_len
+    m = stop.keyword_ids.shape[1]
+
+    # Padded prompt positions carry position_id 0; routing them to slot 0 would
+    # scatter garbage over the real first token's K/V (last-write-wins). They
+    # write to a dedicated trash slot (t_max-1, always masked out) instead —
+    # callers size the cache with one spare slot.
+    trash = t_max - 1
+    slots = jnp.where(attention_mask, position_ids, trash)
+    kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) < seq_lens[:, None]
+    # prefill
+    logits, cache = llama_mod.llama_forward(
+        params, cfg, inputs_embeds,
+        position_ids=position_ids, cache=cache, write_slots=slots,
+        kv_mask=kv_mask,
+        logits_mode="last", last_index=seq_lens - 1,
+    )
+
+    def step_fn(state):
+        (step, cur_rng, cache, tokens, window, done, n_gen, logits) = state
+        step_rng, next_rng = jax.random.split(cur_rng)
+        tok = sample_token(
+            logits[:, -1], step_rng,
+            temperature=temperature, do_sample=do_sample, top_p=top_p,
+        )
+        tok = jnp.where(done, pad_id, tok)
+        tokens = tokens.at[:, step].set(tok)
+        window = jnp.concatenate([window[:, 1:], tok[:, None]], axis=1)
+        n_gen = n_gen + jnp.where(done, 0, 1)
+        newly_done = (tok == stop.eos_id) | _keyword_hit(window, stop)
+        done = done | newly_done
+
+        pos = seq_lens + step  # [B]
+        kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) <= pos[:, None]
+        emb = llama_mod.embed_tokens(params, tok[:, None], dtype=inputs_embeds.dtype)
+        logits, cache = llama_mod.llama_forward(
+            params, cfg, emb, position_ids=pos[:, None], cache=cache,
+            write_slots=pos[:, None], kv_mask=kv_mask, logits_mode="last",
+        )
+        return (step + 1, next_rng, cache, tokens, window, done, n_gen, logits)
+
+    def cond_fn(state):
+        step, _, _, _, _, done, _, _ = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    tokens0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+    window0 = jnp.full((b, m), -1, jnp.int32)
+    state = (
+        jnp.asarray(0), rng, cache, tokens0, window0,
+        jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32), logits,
+    )
+    state = jax.lax.while_loop(cond_fn, step_fn, state)
+    (_, _, _, tokens, _, _, n_gen, _) = state
+    return tokens, n_gen

@@ -1,0 +1,196 @@
+"""TEOChat flagship model: frozen CLIP tower + projector + LLaMA decoder.
+
+The TPU-native equivalent of LlavaLlamaForCausalLM + LlavaMetaForCausalLM
+(reference llava_llama.py:40-111, llava_arch.py:27-346): a params pytree
+{'vision','projector','llm'} and pure jitted entry points, with a thin
+imperative wrapper for the harnesses. Shapes are bucketed so XLA compiles a
+small, reused set of programs instead of one per example (the static-shape
+answer to the reference's ragged fusion, SURVEY §7 hard-parts).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import GenerationConfig, TEOChatConfig
+from teochat_tpu.constants import VISION_PATCH_TOKENS
+from teochat_tpu.models import fusion as fusion_mod
+from teochat_tpu.models import generation as gen_mod
+from teochat_tpu.models import llama as llama_mod
+from teochat_tpu.models import projector as proj_mod
+from teochat_tpu.models import vit as vit_mod
+
+Params = Dict
+
+# Prefill-length buckets (fused tokens): 16 frames x 257 + text fits in 3072+1024
+SEQ_BUCKETS = (128, 256, 512, 768, 1024, 1536, 2048, 3072, 4352)
+FRAME_BUCKETS = (1, 2, 4, 8, 16)
+
+
+def round_to_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + 511) // 512) * 512
+
+
+def init_teochat(rng: jax.Array, cfg: TEOChatConfig, dtype=jnp.float32) -> Params:
+    r1, r2, r3 = jax.random.split(rng, 3)
+    return {
+        "vision": vit_mod.init_vit(r1, cfg.vision, dtype),
+        "projector": proj_mod.init_projector(r2, cfg.projector, dtype),
+        "llm": llama_mod.init_llama(r3, cfg.llm, dtype),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_frames"))
+def encode_frames(
+    params: Params, cfg: TEOChatConfig, pixel_values: jnp.ndarray, num_frames: int = 1
+) -> jnp.ndarray:
+    """[N, 3, H, W] -> [N, tokens_per_frame, D_llm] (encode_images + projector,
+    reference llava_arch.py:137-140)."""
+    hidden = vit_mod.vit_forward(
+        params["vision"], cfg.vision, pixel_values,
+        select_layer=cfg.mm_vision_select_layer, num_frames=num_frames,
+    )
+    feats = vit_mod.select_features(hidden, cfg.mm_vision_select_feature)
+    return proj_mod.projector_forward(params["projector"], cfg.projector, feats)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def multimodal_embeds(
+    params: Params, cfg: TEOChatConfig, plan: fusion_mod.FusionPlan,
+    vision_tokens: jnp.ndarray,
+) -> jnp.ndarray:
+    """Token embeddings + vision splice -> [B, L, D]."""
+    text_emb = llama_mod.embed_tokens(
+        params["llm"], plan.text_ids, dtype=vision_tokens.dtype
+    )
+    return fusion_mod.fuse(text_emb, vision_tokens, plan)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def forward_train(
+    params: Params, cfg: TEOChatConfig, plan: fusion_mod.FusionPlan,
+    pixel_values: jnp.ndarray,
+) -> jnp.ndarray:
+    """Training forward: returns mean next-token cross-entropy over valid labels
+    (the reference delegates this to HF's shifted CE, llava_llama.py:56-99)."""
+    vision_tokens = encode_frames(params, cfg, pixel_values)
+    embeds = multimodal_embeds(params, cfg, plan, vision_tokens)
+    logits, _ = llama_mod.llama_forward(
+        params["llm"], cfg.llm, embeds,
+        position_ids=plan.position_ids, attention_mask=plan.attention_mask,
+    )
+    shift_logits = logits[:, :-1]
+    shift_labels = plan.labels[:, 1:]
+    valid = shift_labels != fusion_mod.IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    tok_lp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    return -(tok_lp * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+
+class TEOChat:
+    """Imperative shell for the harnesses (eval/serve/train drivers)."""
+
+    def __init__(self, cfg: TEOChatConfig, params: Params, tokenizer=None):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self._dtype = jnp.dtype(cfg.dtype)
+
+    @property
+    def tokens_per_frame(self) -> int:
+        n = self.cfg.vision.num_patches
+        return n if self.cfg.mm_vision_select_feature == "patch" else n + 1
+
+    def encode(self, pixel_values: np.ndarray) -> jnp.ndarray:
+        """Encode N frames (bucketed to avoid recompiles)."""
+        n = pixel_values.shape[0]
+        nb = round_to_bucket(n, FRAME_BUCKETS)
+        if nb != n:
+            pad = np.zeros((nb - n,) + pixel_values.shape[1:], pixel_values.dtype)
+            pixel_values = np.concatenate([pixel_values, pad], axis=0)
+        toks = encode_frames(
+            self.params, self.cfg, jnp.asarray(pixel_values, self._dtype)
+        )
+        return toks[:n]
+
+    def generate(
+        self,
+        input_ids: Sequence[Sequence[int]],
+        pixel_values: Optional[np.ndarray],  # [N_frames, 3, H, W] flat batch order
+        gen: Optional[GenerationConfig] = None,
+        rng: Optional[jax.Array] = None,
+        stop_spec: Optional[gen_mod.StopSpec] = None,
+    ) -> List[List[int]]:
+        """Batched generate; returns generated ids per row (stop string included)."""
+        gen = gen or GenerationConfig()
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        cfg = self.cfg
+
+        n_frames = fusion_mod.count_frames(input_ids)
+        if n_frames:
+            if pixel_values is None or pixel_values.shape[0] != n_frames:
+                got = None if pixel_values is None else pixel_values.shape[0]
+                raise ValueError(f"prompt needs {n_frames} frames, got {got}")
+            vision_tokens = self.encode(pixel_values)
+        else:
+            vision_tokens = jnp.zeros(
+                (1, self.tokens_per_frame, cfg.llm.hidden_size), self._dtype
+            )
+
+        fused_len = max(
+            len(r) + sum(1 for t in r if t == fusion_mod.IMAGE_TOKEN_INDEX)
+            * (self.tokens_per_frame - 1)
+            for r in input_ids
+        )
+        pad_to = round_to_bucket(
+            min(fused_len, cfg.tokenizer_model_max_length), SEQ_BUCKETS
+        )
+        plan = fusion_mod.build_fusion_plan(
+            input_ids,
+            tokens_per_frame=self.tokens_per_frame,
+            max_length=cfg.tokenizer_model_max_length,
+            pad_to=pad_to,
+        )
+        embeds = multimodal_embeds(self.params, cfg, plan, vision_tokens)
+
+        b = len(input_ids)
+        # +1 spare slot: padded prefill tokens park their K/V there (see
+        # generation.generate_tokens trash-slot note).
+        cache = llama_mod.init_cache(
+            cfg.llm, b, pad_to + gen.max_new_tokens + 1, dtype=self._dtype
+        )
+        if stop_spec is None:
+            if self.tokenizer is not None and gen.stop_strings:
+                stop_spec = gen_mod.make_stop_spec(
+                    gen.stop_strings, self.tokenizer, cfg.llm.eos_token_id
+                )
+            else:
+                stop_spec = gen_mod.StopSpec(
+                    keyword_ids=jnp.zeros((1, 1), jnp.int32),
+                    keyword_lens=jnp.zeros((1,), jnp.int32),
+                    eos_id=jnp.asarray(cfg.llm.eos_token_id, jnp.int32),
+                )
+
+        tokens, n_gen = gen_mod.generate_tokens(
+            self.params["llm"], cfg.llm, embeds,
+            plan.seq_lens, plan.attention_mask, plan.position_ids,
+            cache, stop_spec, rng,
+            max_new_tokens=gen.max_new_tokens,
+            temperature=gen.temperature,
+            do_sample=gen.do_sample,
+            top_p=gen.top_p,
+            pad_id=cfg.llm.pad_token_id,
+        )
+        tokens = np.asarray(tokens)
+        n_gen = np.asarray(n_gen)
+        return [tokens[i, : n_gen[i]].tolist() for i in range(b)]

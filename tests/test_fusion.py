@@ -1,0 +1,77 @@
+"""Fusion-core tests: gather-plan correctness, truncation, label masking."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from teochat_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from teochat_tpu.models.fusion import build_fusion_plan, count_frames, fuse
+
+
+def test_plan_basic_splice():
+    ids = [[1, 5, IMAGE_TOKEN_INDEX, 7, 2]]
+    plan = build_fusion_plan(ids, tokens_per_frame=3)
+    # fused: [1, 5, v0, v1, v2, 7, 2] -> length 7
+    assert int(plan.seq_lens[0]) == 7
+    assert plan.is_vision.tolist()[0][:7] == [False, False, True, True, True, False, False]
+    assert plan.vis_gather.tolist()[0][2:5] == [0, 1, 2]
+    assert plan.text_ids.tolist()[0] == [1, 5, 0, 7, 2]
+    # text gather skips the sentinel slot
+    assert plan.text_gather.tolist()[0][:2] == [0, 1]
+    assert plan.text_gather.tolist()[0][5:7] == [3, 4]
+    assert plan.position_ids.tolist()[0][:7] == list(range(7))
+
+
+def test_plan_flat_frame_order_across_batch():
+    ids = [
+        [1, IMAGE_TOKEN_INDEX, 5],
+        [1, IMAGE_TOKEN_INDEX, IMAGE_TOKEN_INDEX, 9],
+    ]
+    plan = build_fusion_plan(ids, tokens_per_frame=2)
+    # row 0 uses frame 0 -> flat idx 0,1 ; row 1 uses frames 1,2 -> 2..5
+    assert plan.vis_gather.tolist()[0][1:3] == [0, 1]
+    assert plan.vis_gather.tolist()[1][1:5] == [2, 3, 4, 5]
+    assert count_frames(ids) == 3
+
+
+def test_plan_labels_masked_on_vision_and_pad():
+    ids = [[1, IMAGE_TOKEN_INDEX, 7]]
+    labels = [[IGNORE_INDEX, IGNORE_INDEX, 7]]
+    plan = build_fusion_plan(ids, labels=labels, tokens_per_frame=2, pad_to=8)
+    got = plan.labels.tolist()[0]
+    assert got == [IGNORE_INDEX, IGNORE_INDEX, IGNORE_INDEX, 7] + [IGNORE_INDEX] * 4
+
+
+def test_plan_truncation():
+    ids = [[1] + [IMAGE_TOKEN_INDEX] + list(range(2, 50))]
+    plan = build_fusion_plan(ids, tokens_per_frame=16, max_length=20)
+    assert int(plan.seq_lens[0]) == 20
+
+
+def test_fuse_gathers_correct_embeddings():
+    ids = [[10, IMAGE_TOKEN_INDEX, 11], [IMAGE_TOKEN_INDEX, 12, 13]]
+    plan = build_fusion_plan(ids, tokens_per_frame=2, pad_to=6)
+    d = 4
+    # text embeds: value = token id broadcast; vision tokens: 100 + flat idx
+    text_emb = jnp.asarray(plan.text_ids)[:, :, None] * jnp.ones((1, 1, d))
+    vis = (100 + jnp.arange(4, dtype=jnp.float32))[:, None] * jnp.ones((1, d))
+    vis = vis.reshape(2, 2, d)
+    out = np.asarray(fuse(text_emb, vis, plan))
+    # positions past seq_len are masked by attention_mask; content is unspecified
+    np.testing.assert_allclose(out[0, :4, 0], [10, 100, 101, 11])
+    np.testing.assert_allclose(out[1, :4, 0], [102, 103, 12, 13])
+    assert plan.attention_mask.tolist() == [[True] * 4 + [False] * 2] * 2
+
+
+def test_plan_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        build_fusion_plan([[1, 2]], labels=[[1]])
+    with pytest.raises(ValueError):
+        build_fusion_plan([[1] * 10], pad_to=4)
+
+
+def test_text_only_row():
+    plan = build_fusion_plan([[1, 2, 3]], tokens_per_frame=4)
+    assert int(plan.seq_lens[0]) == 3
+    assert not plan.is_vision.any()
