@@ -1,0 +1,240 @@
+"""Model loading: every checkpoint path the reference supports, TPU-native.
+
+Rebuild of videollava/model/builder.py:27-171 `load_pretrained_model`:
+  A. LoRA dir + base  -> load base, apply non_lora_trainables.bin, merge peft
+     LoRA A/B into the decoder (builder.py:37-72);
+  B. base + projector-only dir -> load mm_projector.bin over the base
+     (builder.py:73-89);
+  C. merged single path (jirvin16/TEOChat layout) with optional int8
+     weight-only quantization standing in for bitsandbytes load_8bit
+     (builder.py:90-112);
+  D. plain LM.
+
+Sources are LOCAL directories containing HF-format weights
+(*.safetensors / pytorch_model*.bin + config.json + tokenizer.json) or an
+Orbax checkpoint produced by teochat_tpu.checkpoint.orbax_io. Hub downloads
+are not attempted (this deployment is egress-free); pass a local path.
+Returns (tokenizer, model, processor_dict, context_len) for API parity.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import (
+    LlamaConfig,
+    ProjectorConfig,
+    TEOChatConfig,
+    VisionConfig,
+    llama_config_from_hf,
+    vision_config_from_hf,
+)
+from teochat_tpu.checkpoint import convert_hf
+from teochat_tpu.data.processing import ImageProcessor
+from teochat_tpu.models.teochat import TEOChat
+
+
+def _load_state_dict(path: str) -> Dict[str, Any]:
+    """Load all weight shards in an HF checkpoint dir into one numpy dict."""
+    sd: Dict[str, Any] = {}
+    safes = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))) + sorted(
+        glob.glob(os.path.join(path, "*.pt"))
+    )
+    if safes:
+        from safetensors.numpy import load_file
+
+        for f in safes:
+            try:
+                sd.update(load_file(f))
+            except Exception:
+                # bf16 safetensors need the torch loader
+                from safetensors.torch import load_file as tload
+
+                sd.update({k: v for k, v in tload(f).items()})
+    elif bins:
+        import torch
+
+        for f in bins:
+            sd.update(torch.load(f, map_location="cpu", weights_only=True))
+    else:
+        raise FileNotFoundError(f"no weight files (*.safetensors / *.bin) in {path}")
+    return sd
+
+
+def _load_torch_file(path: str) -> Dict[str, Any]:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def load_config(model_path: str) -> TEOChatConfig:
+    """Build a TEOChatConfig from an HF config.json (reference fields:
+    mm_image_tower, mm_projector_type, mm_vision_select_layer, ...)."""
+    with open(os.path.join(model_path, "config.json")) as f:
+        hf = json.load(f)
+    llm = llama_config_from_hf(hf)
+    vision = VisionConfig()  # production tower geometry (LanguageBind ViT-L/14)
+    projector = ProjectorConfig(
+        projector_type=hf.get("mm_projector_type", "mlp2x_gelu"),
+        mm_hidden_size=hf.get("mm_hidden_size", vision.hidden_size),
+        hidden_size=llm.hidden_size,
+    )
+    return TEOChatConfig(
+        vision=vision,
+        projector=projector,
+        llm=llm,
+        mm_vision_select_layer=hf.get("mm_vision_select_layer", -2),
+        mm_vision_select_feature=hf.get("mm_vision_select_feature", "patch"),
+        mm_use_im_start_end=hf.get("mm_use_im_start_end", False),
+        mm_use_im_patch_token=hf.get("mm_use_im_patch_token", False),
+        image_aspect_ratio=hf.get("image_aspect_ratio", None),
+        tokenizer_padding_side=hf.get("tokenizer_padding_side", "right"),
+        tokenizer_model_max_length=hf.get("tokenizer_model_max_length", 3072),
+        max_sequence_length=hf.get("max_sequence_length", 2048),
+    )
+
+
+def _load_tokenizer(model_path: str):
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(model_path, use_fast=True)
+
+
+def _strip_prefix(sd: Dict[str, Any], prefixes=("base_model.model.",)) -> Dict[str, Any]:
+    out = {}
+    for k, v in sd.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+                break
+        out[k] = v
+    return out
+
+
+def load_pretrained_model(
+    model_path: str,
+    model_base: Optional[str] = None,
+    model_name: Optional[str] = None,
+    load_8bit: bool = False,
+    load_4bit: bool = False,
+    device: Optional[str] = None,
+    cache_dir: Optional[str] = None,
+    vision_path: Optional[str] = None,
+    **kwargs,
+) -> Tuple[Any, TEOChat, Dict[str, ImageProcessor], int]:
+    """Load tokenizer + TEOChat model + processors (reference builder.py:27)."""
+    if model_name is None:
+        from teochat_tpu.mm_utils import get_model_name_from_path
+
+        model_name = get_model_name_from_path(model_path)
+    if load_4bit:
+        raise NotImplementedError(
+            "nf4 4-bit is not supported on TPU; use load_8bit (int8 weight-only)"
+        )
+
+    lora_path = None
+    if "lora" in model_name.lower() and model_base is not None:
+        base_path, lora_path = model_base, model_path
+    elif model_base is not None:
+        base_path = model_base
+    else:
+        base_path = model_path
+
+    cfg = load_config(lora_path or base_path)
+    sd = _load_state_dict(base_path)
+
+    llm_params = convert_hf.convert_llama(sd, cfg.llm)
+    proj_keys = {k: v for k, v in sd.items() if "mm_projector" in k}
+
+    if lora_path is not None:
+        # branch A: non-LoRA trainables (projector etc.) + LoRA merge
+        nlt_file = os.path.join(lora_path, "non_lora_trainables.bin")
+        if os.path.exists(nlt_file):
+            nlt = _strip_prefix(_load_torch_file(nlt_file))
+            proj_keys = {k: v for k, v in nlt.items() if "mm_projector" in k} or proj_keys
+        adapter = {}
+        for fname in ("adapter_model.safetensors", "adapter_model.bin"):
+            f = os.path.join(lora_path, fname)
+            if os.path.exists(f):
+                if fname.endswith(".safetensors"):
+                    from safetensors.numpy import load_file
+
+                    adapter = load_file(f)
+                else:
+                    adapter = _load_torch_file(f)
+                break
+        if adapter:
+            lora_cfg = {}
+            cfg_file = os.path.join(lora_path, "adapter_config.json")
+            if os.path.exists(cfg_file):
+                with open(cfg_file) as f:
+                    lora_cfg = json.load(f)
+            llm_params = convert_hf.merge_lora_into_llama(
+                llm_params, adapter, cfg.llm,
+                rank=lora_cfg.get("r"), alpha=lora_cfg.get("lora_alpha"),
+            )
+    elif model_base is not None:
+        # branch B: projector-only checkpoint over a base LM
+        proj_file = os.path.join(model_path, "mm_projector.bin")
+        if os.path.exists(proj_file):
+            proj_keys = _load_torch_file(proj_file)
+
+    if not proj_keys:
+        raise ValueError(f"no mm_projector weights found for {model_path}")
+    proj_params = convert_hf.convert_projector(proj_keys, cfg.projector)
+
+    # vision tower: separate dir (LanguageBind_Image layout) or embedded weights
+    vt_keys = {k: v for k, v in sd.items() if "image_tower" in k or "vision_model" in k}
+    if vision_path is not None:
+        vsd = _load_state_dict(vision_path)
+        vision_params = convert_hf.convert_clip_vision(vsd, cfg.vision)
+    elif any("vision_model.encoder" in k for k in vt_keys):
+        prefix = next(
+            k.split("vision_model")[0] for k in vt_keys if "vision_model.encoder" in k
+        )
+        vision_params = convert_hf.convert_clip_vision(
+            vt_keys, cfg.vision, prefix=prefix + "vision_model."
+        )
+    else:
+        raise FileNotFoundError(
+            "vision tower weights not found; pass vision_path pointing at a "
+            "LanguageBind_Image checkpoint dir"
+        )
+
+    dtype = jnp.bfloat16
+    params = {
+        "vision": jax.tree.map(lambda x: jnp.asarray(x, dtype), vision_params),
+        "projector": jax.tree.map(lambda x: jnp.asarray(x, dtype), proj_params),
+    }
+    if load_8bit:
+        from teochat_tpu.ops.quant import quantize_llama_params
+
+        llm_jnp = jax.tree.map(lambda x: jnp.asarray(x), llm_params)
+        qp = quantize_llama_params(llm_jnp)
+
+        def cast(x):
+            return x.astype(dtype) if x.dtype in (jnp.float32, jnp.float64) and x.ndim > 1 else x
+
+        params["llm"] = jax.tree.map(
+            lambda x: x if x.dtype == jnp.int8 else x, qp
+        )
+        params["llm"]["embed_tokens"]["embedding"] = jnp.asarray(
+            llm_params["embed_tokens"]["embedding"], dtype
+        )
+    else:
+        params["llm"] = jax.tree.map(lambda x: jnp.asarray(x, dtype), llm_params)
+
+    tokenizer = _load_tokenizer(lora_path or base_path)
+    model = TEOChat(cfg, params, tokenizer=tokenizer)
+    processor = {"image": ImageProcessor(), "video": ImageProcessor()}
+    context_len = cfg.max_sequence_length
+    return tokenizer, model, processor, context_len

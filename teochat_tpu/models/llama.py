@@ -72,6 +72,10 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _proj(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    if "scale" in p:  # int8 weight-only path (ops/quant.py)
+        from teochat_tpu.ops.quant import quantized_proj
+
+        return quantized_proj(x, p)
     return jnp.einsum(
         "...d,df->...f", x, p["kernel"].astype(x.dtype),
         preferred_element_type=jnp.float32,
@@ -111,14 +115,22 @@ def _attention_layer(
         batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
         k_cache = k_cache.at[batch_idx, write_slots].set(k.astype(k_cache.dtype))
         v_cache = v_cache.at[batch_idx, write_slots].set(v.astype(v_cache.dtype))
-        t_max = k_cache.shape[1]
-        slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, t_max), 2)
-        mask = slot_ids <= q_slots[:, :, None]
-        if kv_mask is not None:
-            mask = mask & kv_mask[:, None, :]
-        out = dot_product_attention(
-            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask=mask
-        )
+        if s > 1:
+            # Prefill: right-padded fused prompts start at slot 0, so causal
+            # attention over the FRESH k/v equals attention over the cache
+            # (padded keys sit after every valid query) — O(S^2), and the
+            # mask-free causal shape routes to the Pallas flash kernel on TPU.
+            out = dot_product_attention(q, k, v, causal=True)
+        else:
+            # Decode: one query per row against the cache, masked to live slots.
+            t_max = k_cache.shape[1]
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, t_max), 2)
+            mask = slot_ids <= q_slots[:, :, None]
+            if kv_mask is not None:
+                mask = mask & kv_mask[:, None, :]
+            out = dot_product_attention(
+                q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask=mask
+            )
     out = out.reshape(b, s, h * hd)
     return _proj(out, lp["out"]), k_cache, v_cache
 
@@ -221,6 +233,8 @@ def llama_forward(
             "bsd,dv->bsv", x, head["kernel"].astype(x.dtype),
             preferred_element_type=jnp.float32,
         )
+        if "scale" in head:  # int8 weight-only lm_head
+            logits = logits * head["scale"].astype(jnp.float32)
     return logits.astype(jnp.float32), new_cache
 
 

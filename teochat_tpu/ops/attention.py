@@ -101,6 +101,7 @@ def dot_product_attention(
             on_tpu
             and causal
             and bias is None
+            and mask is None
             and s == t
             and s >= 256
             and q.shape[-1] % 128 == 0

@@ -1,0 +1,113 @@
+"""Partition-spec rules: Megatron-style TP + ZeRO-style FSDP via GSPMD.
+
+Path-pattern rules map every param in the {'vision','projector','llm'} pytree
+to a PartitionSpec over the (data, fsdp, model) mesh:
+
+- column-parallel projections (q/k/v, mlp gate/up, fc1) shard their OUTPUT dim
+  on `model` and input dim on `fsdp`;
+- row-parallel projections (attn out, mlp down, fc2) shard their INPUT dim on
+  `model` and output on `fsdp` (XLA inserts the reduce-scatter/all-reduce);
+- embeddings/lm_head shard vocab on `model`, hidden on `fsdp`;
+- norms/biases replicate (tiny).
+
+This replaces DeepSpeed ZeRO-2/3 param+optimizer sharding (reference
+scripts/zero*.json) — optimizer state inherits the param specs, so "stage 3"
+falls out of pjit with no offload machinery.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, spec) — first match wins. Paths look like
+# "llm/layers/attn/q/kernel"; stacked layer arrays carry a leading layer dim.
+_RULES: Tuple[Tuple[str, P], ...] = (
+    # --- LLaMA decoder (stacked [L, ...]) ---
+    (r"llm/layers/attn/(q|k|v)/kernel$", P(None, "fsdp", "model")),
+    (r"llm/layers/attn/out/kernel$", P(None, "model", "fsdp")),
+    (r"llm/layers/mlp/(gate|up)/kernel$", P(None, "fsdp", "model")),
+    (r"llm/layers/mlp/down/kernel$", P(None, "model", "fsdp")),
+    (r"llm/layers/.*norm.*$", P()),
+    (r"llm/embed_tokens/embedding$", P("model", "fsdp")),
+    (r"llm/lm_head/kernel$", P("fsdp", "model")),
+    (r"llm/final_norm/.*$", P()),
+    # --- int8 quant scales follow their kernel's output dim ---
+    (r"llm/layers/attn/(q|k|v)/scale$", P(None, "model")),
+    (r"llm/layers/attn/out/scale$", P(None, "fsdp")),
+    (r"llm/layers/mlp/(gate|up)/scale$", P(None, "model")),
+    (r"llm/layers/mlp/down/scale$", P(None, "fsdp")),
+    (r"llm/lm_head/scale$", P("model")),
+    # --- Vision tower (stacked [L, ...]) ---
+    (r"vision/layers/(temporal_attn|attn)/(q|k|v)/kernel$", P(None, "fsdp", "model")),
+    (r"vision/layers/(temporal_attn|attn)/(q|k|v)/bias$", P(None, "model")),
+    (r"vision/layers/(temporal_attn|attn)/out/kernel$", P(None, "model", "fsdp")),
+    (r"vision/layers/mlp/fc1/kernel$", P(None, "fsdp", "model")),
+    (r"vision/layers/mlp/fc1/bias$", P(None, "model")),
+    (r"vision/layers/mlp/fc2/kernel$", P(None, "model", "fsdp")),
+    (r"vision/(patch_embedding/kernel|position_embedding)$", P(None, "fsdp")),
+    # --- Projector ---
+    (r"projector/layers/\d+/kernel$", P("fsdp", "model")),
+    # --- LoRA adapters: A column-ish, B row-ish ---
+    (r".*/lora_a$", P(None, "fsdp", None)),
+    (r".*/lora_b$", P(None, None, "model")),
+)
+
+_DEFAULT = P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for_path(path_s: str) -> P:
+    for pattern, spec in _RULES:
+        if re.search(pattern, path_s):
+            return spec
+    return _DEFAULT
+
+
+def param_specs(params: Dict) -> Dict:
+    """Pytree of PartitionSpecs mirroring `params`."""
+
+    def leaf_spec(path, leaf):
+        spec = spec_for_path(_path_str(path))
+        # drop axes that exceed the leaf's rank (e.g. unstacked variants)
+        if len(spec) > leaf.ndim:
+            spec = P(*spec[: leaf.ndim])
+        return spec
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+
+def shard_params(params: Dict, mesh: Mesh) -> Dict:
+    """Place params on the mesh per the rules (device_put with NamedSharding)."""
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def batch_spec(train: bool = False) -> P:
+    """Leading-batch activation spec: data(+fsdp) sharded."""
+    return P(("data", "fsdp")) if train else P("data")
+
+
+def cache_spec() -> P:
+    """KV cache [L, B, T, H_kv, D]: batch on data, kv heads on model."""
+    return P(None, "data", None, "model", None)
+
+
+def constrain(x, mesh: Mesh, spec: P):
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -1,0 +1,108 @@
+"""Sharded train step: fully-sharded params + optimizer state via GSPMD.
+
+The ZeRO-3 replacement (reference scripts/zero3*.json + llava_trainer.py):
+params are placed with parallel/sharding.py rules; optimizer state initialized
+*inside* jit inherits those shardings through propagation (zeros_like of a
+sharded arg), so param + Adam moments are sharded over the fsdp axis with no
+gather/offload machinery. Gradient remat replaces HF gradient checkpointing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from teochat_tpu.config import TEOChatConfig
+from teochat_tpu.models import fusion as fusion_mod
+from teochat_tpu.models import teochat as teochat_mod
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    learning_rate: float = 2e-4,
+    *,
+    projector_lr: Optional[float] = None,
+    warmup_ratio: float = 0.03,
+    total_steps: int = 10000,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+) -> optax.GradientTransformation:
+    """AdamW + cosine schedule + warmup (reference train_teochat.sh:31-34), with
+    the separate mm_projector learning-rate group (llava_trainer.py:150-237)."""
+
+    def schedule(lr):
+        warmup = max(int(total_steps * warmup_ratio), 1)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr, warmup_steps=warmup,
+            decay_steps=total_steps, end_value=0.0,
+        )
+
+    base = optax.adamw(schedule(learning_rate), b1=b1, b2=b2, weight_decay=weight_decay)
+    if projector_lr is None:
+        return base
+    proj = optax.adamw(schedule(projector_lr), b1=b1, b2=b2, weight_decay=weight_decay)
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "projector"
+            if any(getattr(p, "key", None) == "projector" for p in path)
+            else "base",
+            params,
+        )
+
+    return optax.multi_transform({"base": base, "projector": proj}, label_fn)
+
+
+def init_train_state(
+    params: Dict, optimizer: optax.GradientTransformation
+) -> TrainState:
+    """Call under jit with sharded params so moments inherit param shardings."""
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.asarray(0))
+
+
+def make_train_step(
+    cfg: TEOChatConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    trainable_filter: Optional[Callable[[str], bool]] = None,
+) -> Callable:
+    """Build the jitted train step.
+
+    trainable_filter(path)->bool freezes params (grads zeroed) — the reference
+    freezes the tower always and the LLM backbone under LoRA
+    (train.py:974-1006). Full-param path when None.
+    """
+
+    def loss_fn(params, plan, pixel_values):
+        return teochat_mod.forward_train(params, cfg, plan, pixel_values)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(
+        state: TrainState, plan: fusion_mod.FusionPlan, pixel_values: jnp.ndarray
+    ) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, plan, pixel_values)
+        if trainable_filter is not None:
+            from teochat_tpu.parallel.sharding import _path_str
+
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: g
+                if trainable_filter(_path_str(path))
+                else jnp.zeros_like(g),
+                grads,
+            )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step

@@ -8,9 +8,11 @@ Must run before the first ``import jax`` anywhere in the suite.
 
 import os
 
-# The machine env pins JAX_PLATFORMS=axon (the real TPU); the test suite always
-# runs on the virtual CPU platform — TPU-only checks live in bench.py / examples.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The machine env pins the axon TPU platform; the test suite always runs on
+# the virtual CPU platform — TPU-only checks live in bench.py / examples.
+# NOTE: this jax build ignores the JAX_PLATFORMS env var; JAX_PLATFORM_NAME and
+# jax.config.update("jax_platforms", ...) are the mechanisms that work.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # fp32 parity tests need exact matmuls; the default CPU matmul path rounds
 # through bf16-ish precision (env var form of this option is not honored).

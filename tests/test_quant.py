@@ -1,0 +1,52 @@
+"""Int8 weight-only quantization tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import LlamaConfig
+from teochat_tpu.models.llama import embed_tokens, init_llama, llama_forward
+from teochat_tpu.ops.quant import (
+    dequantize_kernel,
+    quantize_kernel,
+    quantize_llama_params,
+    quantized_proj,
+)
+
+CFG = LlamaConfig(
+    vocab_size=64, hidden_size=32, intermediate_size=64,
+    num_layers=2, num_heads=4, num_kv_heads=4,
+)
+
+
+def test_quantize_roundtrip_error_bounded():
+    w = jnp.asarray(np.random.RandomState(0).randn(16, 24), jnp.float32)
+    q = quantize_kernel(w)
+    assert q["kernel"].dtype == jnp.int8
+    w2 = dequantize_kernel(q)
+    # per-column max error <= scale/2 (symmetric rounding)
+    err = jnp.abs(w - w2)
+    assert float(jnp.max(err / q["scale"][None, :])) <= 0.5 + 1e-6
+
+
+def test_quantized_proj_matches_dequant():
+    w = jnp.asarray(np.random.RandomState(1).randn(8, 16), jnp.float32)
+    x = jnp.asarray(np.random.RandomState(2).randn(3, 8), jnp.float32)
+    q = quantize_kernel(w)
+    ref = x @ dequantize_kernel(q)
+    got = quantized_proj(x, q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_int8_forward_close_to_fp32():
+    params = init_llama(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_llama_params(params)
+    ids = jnp.asarray(np.random.RandomState(3).randint(0, 64, (1, 6)))
+    pos = jnp.arange(6)[None, :]
+    emb = embed_tokens(params, ids)
+    ref, _ = llama_forward(params, CFG, emb, position_ids=pos)
+    got, _ = llama_forward(qparams, CFG, emb, position_ids=pos)
+    # int8 is approximate; logits must correlate strongly
+    r = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert r > 0.999, r
