@@ -1,0 +1,99 @@
+"""Orbax checkpointing: sharded save/load/auto-resume.
+
+The TPU-native replacement for the reference's three checkpoint artifact shapes
+(SURVEY §5 checkpoint/resume): one Orbax directory holds the params pytree
+(sharded arrays restore to the current mesh layout), the TEOChatConfig JSON,
+and optionally the optimizer state for resume. `latest_checkpoint` implements
+the reference's checkpoint-* auto-resume glob (train.py:1109-1112).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+
+from teochat_tpu.config import TEOChatConfig
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(path: str, params: Dict, cfg: Optional[TEOChatConfig] = None,
+                    opt_state: Any = None, step: Optional[int] = None) -> str:
+    """Save params (+ optional optimizer state) under path[/checkpoint-step]."""
+    if step is not None:
+        path = os.path.join(path, f"checkpoint-{step}")
+    os.makedirs(path, exist_ok=True)
+    ckpt = _checkpointer()
+    # orbax force-overwrite can leave a stale _sharding manifest behind when
+    # the leaf set changed; clear the subdirs explicitly for deterministic
+    # overwrite semantics.
+    import shutil
+
+    for sub in ("params", "opt_state"):
+        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+    ckpt.save(os.path.join(path, "params"), params, force=True)
+    ckpt.wait_until_finished()
+    if opt_state is not None:
+        ckpt.save(os.path.join(path, "opt_state"), opt_state, force=True)
+        ckpt.wait_until_finished()
+    if cfg is not None:
+        with open(os.path.join(path, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+    return path
+
+
+def _abstract(tree):
+    import jax.numpy as jnp
+
+    def leaf(x):
+        sharding = x.sharding if isinstance(x, jax.Array) else None
+        return jax.ShapeDtypeStruct(
+            jnp.shape(x), jnp.asarray(x).dtype, sharding=sharding
+        )
+
+    return jax.tree.map(leaf, tree)
+
+
+def load_checkpoint(path: str, restore_opt: bool = False,
+                    params_template: Any = None, opt_template: Any = None,
+                    ) -> Tuple[Dict, Optional[TEOChatConfig], Any]:
+    """Restore a checkpoint. Passing templates (live pytrees or abstract
+    ShapeDtypeStructs) makes restore robust to orbax's incomplete _sharding
+    manifests and restores straight into the current mesh layout."""
+    ckpt = _checkpointer()
+    params = ckpt.restore(
+        os.path.join(path, "params"),
+        _abstract(params_template) if params_template is not None else None,
+    )
+    cfg = None
+    cfg_file = os.path.join(path, "config.json")
+    if os.path.exists(cfg_file):
+        with open(cfg_file) as f:
+            cfg = TEOChatConfig.from_json(f.read())
+    opt_state = None
+    opt_dir = os.path.join(path, "opt_state")
+    if restore_opt and os.path.isdir(opt_dir):
+        opt_state = ckpt.restore(
+            opt_dir, _abstract(opt_template) if opt_template is not None else None
+        )
+    return params, cfg, opt_state
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Newest checkpoint-* subdir, or None (auto-resume, train.py:1109-1112)."""
+    if not os.path.isdir(output_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(output_dir):
+        m = re.match(r"^checkpoint-(\d+)$", name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = os.path.join(output_dir, name), int(m.group(1))
+    return best

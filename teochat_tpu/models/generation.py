@@ -69,6 +69,8 @@ def _keyword_hit(window: jnp.ndarray, spec: StopSpec) -> jnp.ndarray:
     valid = pos[None, :] >= (m - spec.keyword_lens[:, None])  # [K, M]
     eq = window[:, None, :] == spec.keyword_ids[None, :, :]  # [B, K, M]
     hit = jnp.all(eq | ~valid[None], axis=-1)  # [B, K]
+    # zero-length rows (padding / "no keywords") must never match
+    hit = hit & (spec.keyword_lens > 0)[None, :]
     return jnp.any(hit, axis=-1)
 
 

@@ -75,11 +75,24 @@ def _proj(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     if "scale" in p:  # int8 weight-only path (ops/quant.py)
         from teochat_tpu.ops.quant import quantized_proj
 
-        return quantized_proj(x, p)
-    return jnp.einsum(
-        "...d,df->...f", x, p["kernel"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+        y = quantized_proj(x, p)
+    else:
+        y = jnp.einsum(
+            "...d,df->...f", x, p["kernel"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+    if "lora_a" in p:  # LoRA adapter path (train/lora.py)
+        a = p["lora_a"].astype(x.dtype)
+        b = p["lora_b"].astype(x.dtype)
+        scale = jax.lax.stop_gradient(p["lora_scale"]).astype(jnp.float32)
+        delta = jnp.einsum(
+            "...d,dr->...r", x, a, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        delta = jnp.einsum(
+            "...r,rf->...f", delta, b, preferred_element_type=jnp.float32
+        )
+        y = y + (delta * scale).astype(x.dtype)
+    return y
 
 
 def _attention_layer(

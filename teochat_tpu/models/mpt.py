@@ -1,0 +1,272 @@
+"""MPT decoder backend — ALiBi attention, no positional embeddings.
+
+TPU-first rebuild of the reference's vendored MosaicML MPT stack
+(videollava/model/language_model/mpt/: modeling_mpt.py:144-224, attention
+attention.py:20-150, blocks.py:8-40, norm.py:14-53, SURVEY §2 M9) as one
+functional scan-over-layers module sharing the infra of llama.py:
+
+- ALiBi: per-head linear distance bias. Because softmax is row-shift
+  invariant, the key-position form bias_k = -slope_h * (S_max - 1 - pos_k)
+  (the reference's [1, H, 1, S] trick, modeling_mpt.py:88-143) equals the
+  relative form under a causal mask; we use it so cached decode needs no
+  per-query bias tensor.
+- packed QKV projection (attention.py Wqkv), optional multiquery (1 kv head);
+- pre-LN blocks with exact-GELU MLP, bias-free projections (no_bias=True);
+- optional prefix-LM: bidirectional attention over a per-row prefix length
+  (the reference ships HF prefix-LM converters, hf_prefixlm_converter.py).
+
+The Triton flash-attention kernel the reference pairs with this backend
+(flash_attn_triton.py) is replaced by ops/flash_attention.py + the XLA path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import MptConfig
+from teochat_tpu.ops.attention import dot_product_attention
+
+Params = Dict
+
+
+def alibi_slopes(n_heads: int, alibi_bias_max: int = 8) -> jnp.ndarray:
+    """Per-head slopes with the power-of-two interleave (attention.py gen_slopes)."""
+    ceil_pow2 = 2 ** math.ceil(math.log2(n_heads))
+    m = jnp.arange(1, ceil_pow2 + 1, dtype=jnp.float32)
+    m = m * (alibi_bias_max / ceil_pow2)
+    slopes = 1.0 / (2.0 ** m)
+    if ceil_pow2 != n_heads:
+        # interleave: odd-indexed slopes first, then evens, truncated
+        slopes = jnp.concatenate([slopes[1::2], slopes[0::2]])[:n_heads]
+    return slopes
+
+
+def alibi_bias(n_heads: int, seq_len: int, alibi_bias_max: int = 8) -> jnp.ndarray:
+    """[1, H, 1, S] key-position bias (reference modeling_mpt.py:88-143 form)."""
+    slopes = alibi_slopes(n_heads, alibi_bias_max)  # [H]
+    dist = jnp.arange(1 - seq_len, 1, dtype=jnp.float32)  # [-(S-1) .. 0]
+    return (slopes[:, None] * dist[None, :])[None, :, None, :]
+
+
+def _ln(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y.astype(x.dtype)
+
+
+def _dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _mpt_layer(
+    x: jnp.ndarray,
+    lp: Params,
+    cfg: MptConfig,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    k_cache: Optional[jnp.ndarray],
+    v_cache: Optional[jnp.ndarray],
+    write_slots: Optional[jnp.ndarray],
+    q_slots: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    b, s, d = x.shape
+    h = cfg.n_heads
+    hd = d // h
+    n_kv = 1 if cfg.attn_type == "multiquery_attention" else h
+
+    y = _ln(x, lp["norm1"])
+    qkv = _dense(y, lp["wqkv"])  # [B, S, D + 2 * n_kv * hd]
+    q = qkv[..., :d].reshape(b, s, h, hd)
+    k = qkv[..., d : d + n_kv * hd].reshape(b, s, n_kv, hd)
+    v = qkv[..., d + n_kv * hd :].reshape(b, s, n_kv, hd)
+
+    if k_cache is None:
+        out = dot_product_attention(
+            q, k, v, causal=True, mask=mask, bias=bias[:, :, :, :s]
+        )
+    else:
+        batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+        k_cache = k_cache.at[batch_idx, write_slots].set(k.astype(k_cache.dtype))
+        v_cache = v_cache.at[batch_idx, write_slots].set(v.astype(v_cache.dtype))
+        if s > 1:
+            out = dot_product_attention(
+                q, k, v, causal=True, bias=bias[:, :, :, :s]
+            )
+        else:
+            t_max = k_cache.shape[1]
+            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, t_max), 2)
+            dec_mask = slot_ids <= q_slots[:, :, None]
+            if mask is not None:
+                dec_mask = dec_mask & mask[:, None, :]
+            out = dot_product_attention(
+                q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                mask=dec_mask, bias=bias[:, :, :, :t_max],
+            )
+    x = x + _dense(out.reshape(b, s, d), lp["out_proj"])
+
+    y = _ln(x, lp["norm2"])
+    y = _dense(jax.nn.gelu(_dense(y, lp["up_proj"]), approximate=False), lp["down_proj"])
+    return x + y, k_cache, v_cache
+
+
+def mpt_forward(
+    params: Params,
+    cfg: MptConfig,
+    inputs_embeds: jnp.ndarray,
+    *,
+    attention_mask: Optional[jnp.ndarray] = None,
+    cache: Optional["KVCache"] = None,
+    write_slots: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    logits_mode: str = "all",
+    last_index: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional["KVCache"]]:
+    """Run the MPT stack. Mirrors llama.llama_forward's cache contract.
+
+    ALiBi replaces position ids entirely (learned_pos_emb=False production
+    config); the bias table is sized to the cache (or sequence) length.
+    """
+    from teochat_tpu.models.llama import KVCache
+
+    x = inputs_embeds
+    b, s, d = x.shape
+    t_bias = cache.max_len if cache is not None else s
+    bias = alibi_bias(cfg.n_heads, t_bias, cfg.alibi_bias_max)
+    q_slots = write_slots
+
+    if cache is None:
+
+        def body(carry, lp):
+            y, _, _ = _mpt_layer(
+                carry, lp, cfg, bias, attention_mask, None, None, None, None
+            )
+            return y, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+    else:
+
+        def body(carry, xs):
+            lp, kc, vc = xs
+            y, kc, vc = _mpt_layer(
+                carry, lp, cfg, bias, kv_mask, kc, vc, write_slots, q_slots
+            )
+            return y, (kc, vc)
+
+        x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        new_cache = KVCache(k=nk, v=nv)
+
+    x = _ln(x, params["final_norm"])
+    if logits_mode == "none":
+        return x, new_cache
+    if logits_mode == "last":
+        if last_index is None:
+            x = x[:, -1:]
+        else:
+            x = x[jnp.arange(b), last_index][:, None]
+    # tied embeddings (MPT SharedEmbedding, custom_embedding.py:6-10)
+    logits = jnp.einsum(
+        "bsd,vd->bsv", x, params["wte"]["embedding"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.float32)
+    if cfg.logit_scale is not None:
+        logits = logits * cfg.logit_scale
+    return logits, new_cache
+
+
+def mpt_embed(params: Params, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    emb = params["wte"]["embedding"]
+    if dtype is not None:
+        emb = emb.astype(dtype)
+    return jnp.take(emb, input_ids, axis=0)
+
+
+def init_mpt(rng: jax.Array, cfg: MptConfig, dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(rng, 16))
+    d, L = cfg.d_model, cfg.n_layers
+    h = cfg.n_heads
+    hd = d // h
+    n_kv = 1 if cfg.attn_type == "multiquery_attention" else h
+    ffn = cfg.expansion_ratio * d
+    std = 0.02
+
+    def dense(key, fan_in, fan_out):
+        p = {"kernel": (jax.random.normal(key, (L, fan_in, fan_out)) * std).astype(dtype)}
+        if not cfg.no_bias:
+            p["bias"] = jnp.zeros((L, fan_out), dtype)
+        return p
+
+    def ln():
+        p = {"scale": jnp.ones((L, d), jnp.float32)}
+        if not cfg.no_bias:
+            p["bias"] = jnp.zeros((L, d), jnp.float32)
+        return p
+
+    final_norm = {"scale": jnp.ones((d,), jnp.float32)}
+    if not cfg.no_bias:
+        final_norm["bias"] = jnp.zeros((d,), jnp.float32)
+
+    return {
+        "wte": {
+            "embedding": (
+                jax.random.normal(next(keys), (cfg.vocab_size, d)) * std
+            ).astype(dtype)
+        },
+        "layers": {
+            "norm1": ln(),
+            "wqkv": dense(next(keys), d, d + 2 * n_kv * hd),
+            "out_proj": dense(next(keys), d, d),
+            "norm2": ln(),
+            "up_proj": dense(next(keys), d, ffn),
+            "down_proj": dense(next(keys), ffn, d),
+        },
+        "final_norm": final_norm,
+    }
+
+
+def convert_hf_mpt(sd, cfg: MptConfig, prefix: str = "transformer.") -> Params:
+    """HF MptForCausalLM state_dict -> pytree (stacked layers)."""
+    import numpy as np
+
+    def _np(t):
+        if isinstance(t, np.ndarray):
+            return t
+        t = t.detach().cpu()
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        return t.numpy()
+
+    L = cfg.n_layers
+    p = prefix
+
+    def stack(fmt, transpose=False):
+        arrs = [_np(sd[fmt.format(i=i)]) for i in range(L)]
+        if transpose:
+            arrs = [a.T for a in arrs]
+        return np.stack(arrs, 0)
+
+    return {
+        "wte": {"embedding": _np(sd[f"{p}wte.weight"])},
+        "layers": {
+            "norm1": {"scale": stack(f"{p}blocks.{{i}}.norm_1.weight")},
+            "wqkv": {"kernel": stack(f"{p}blocks.{{i}}.attn.Wqkv.weight", True)},
+            "out_proj": {"kernel": stack(f"{p}blocks.{{i}}.attn.out_proj.weight", True)},
+            "norm2": {"scale": stack(f"{p}blocks.{{i}}.norm_2.weight")},
+            "up_proj": {"kernel": stack(f"{p}blocks.{{i}}.ffn.up_proj.weight", True)},
+            "down_proj": {"kernel": stack(f"{p}blocks.{{i}}.ffn.down_proj.weight", True)},
+        },
+        "final_norm": {"scale": _np(sd[f"{p}norm_f.weight"])},
+    }

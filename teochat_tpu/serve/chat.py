@@ -1,0 +1,140 @@
+"""Serving layer: the `Chat` session wrapper + bbox drawing utilities.
+
+Rebuild of the serving core of reference videollava/serve/teochat_demo.py:
+`Chat` (:466-546) with the auto system prefix for temporal sequences
+(:516-521), `mask2bbox` brush-mask -> [0,100] bbox extraction (:102-120), and
+the cv2 bbox overlay/rendering helpers (:62-101, 303-340). The Gradio/FastAPI
+app shell (teochat_demo.py:549-943) requires gradio, which is not part of this
+stack's baked dependencies — `build_demo()` raises a clear error when gradio
+is absent; everything else here is UI-framework-free and drives the same
+inference core the eval harness uses (the reference demo calls
+run_inference_single with a stale signature, teochat_demo.py:526-539; this one
+uses the current API).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from teochat_tpu.eval.inference import extract_bboxes, run_inference_single
+
+SYSTEM_PREFIX = (
+    "This a sequence of satellite images taken of the same location at different "
+    "times in chronological order: "
+)
+
+
+def mask2bbox(mask: Optional[np.ndarray]) -> Optional[List[int]]:
+    """Brush-layer mask -> [x1, y1, x2, y2] in [0, 100] image-percent coords
+    (reference teochat_demo.py:102-120)."""
+    if mask is None:
+        return None
+    mask = np.asarray(mask)
+    if mask.ndim == 3:
+        mask = mask[..., -1]  # alpha channel of an RGBA brush layer
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        return None
+    h, w = mask.shape
+    x1, x2 = xs.min() / w * 100, xs.max() / w * 100
+    y1, y2 = ys.min() / h * 100, ys.max() / h * 100
+    return [int(round(x1)), int(round(y1)), int(round(x2)), int(round(y2))]
+
+
+def draw_bboxes(
+    image: np.ndarray,
+    bboxes: Sequence[Sequence[float]],
+    color: Tuple[int, int, int] = (255, 0, 0),
+    thickness: int = 2,
+) -> np.ndarray:
+    """Draw [0,100]-normalized boxes on an RGB uint8 image (cv2 if present,
+    reference teochat_demo.py:303-340)."""
+    img = np.ascontiguousarray(np.asarray(image))
+    h, w = img.shape[:2]
+    try:
+        import cv2
+
+        for b in bboxes:
+            p1 = (int(b[0] / 100 * w), int(b[1] / 100 * h))
+            p2 = (int(b[2] / 100 * w), int(b[3] / 100 * h))
+            cv2.rectangle(img, p1, p2, color, thickness)
+        return img
+    except ImportError:
+        for b in bboxes:
+            x1, y1 = int(b[0] / 100 * w), int(b[1] / 100 * h)
+            x2, y2 = int(b[2] / 100 * w), int(b[3] / 100 * h)
+            for t in range(thickness):
+                img[max(y1 - t, 0), x1:x2] = color
+                img[min(y2 + t, h - 1), x1:x2] = color
+                img[y1:y2, max(x1 - t, 0)] = color
+                img[y1:y2, min(x2 + t, w - 1)] = color
+        return img
+
+
+class Chat:
+    """Stateful chat session over the TEOChat model (reference :466-546)."""
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        conv_mode: str = "v1",
+        load_8bit: bool = True,
+        model_bundle=None,
+        vision_path: Optional[str] = None,
+    ):
+        if model_bundle is not None:
+            self.tokenizer, self.model, self.processor = model_bundle
+        else:
+            from teochat_tpu.eval.eval import load_model
+
+            self.tokenizer, self.model, self.processor = load_model(
+                model_path, load_8bit=load_8bit, vision_path=vision_path
+            )
+        self.conv_mode = conv_mode
+        self.reset()
+
+    def reset(self) -> None:
+        self.history: List[Tuple[str, str]] = []
+        self._first_turn = True
+
+    def generate(
+        self,
+        text: str,
+        image_paths: Sequence,
+        timestamps: Sequence[str] = (),
+        bbox: Optional[Sequence[float]] = None,
+        temperature: float = 0.2,
+        max_new_tokens: int = 256,
+    ) -> dict:
+        """One chat turn. Returns {'response', 'bboxes'}; first turn prepends
+        the temporal system prefix + <video> (reference :516-521)."""
+        if bbox is not None:
+            text = f"{text} [{', '.join(str(int(b)) for b in bbox)}]"
+        if self._first_turn and len(image_paths) > 0 and "<video>" not in text:
+            text = SYSTEM_PREFIX + "<video>\n" + text
+        self._first_turn = False
+
+        response = run_inference_single(
+            self.model, self.processor, self.tokenizer, text, list(image_paths),
+            conv_mode=self.conv_mode, timestamps=list(timestamps),
+            temperature=temperature, max_new_tokens=max_new_tokens,
+        )
+        self.history.append((text, response))
+        return {"response": response, "bboxes": extract_bboxes(response)}
+
+
+def build_demo(*args, **kwargs):
+    """Gradio app shell — optional dependency."""
+    try:
+        import gradio  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "the web demo requires gradio; install it or drive serve.chat.Chat "
+            "programmatically (same capabilities, no UI)"
+        ) from e
+    raise NotImplementedError(
+        "gradio demo shell pending; Chat + mask2bbox + draw_bboxes provide the "
+        "serving capabilities"
+    )

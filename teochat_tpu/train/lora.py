@@ -1,0 +1,111 @@
+"""LoRA adapters — functional, pytree-native (the peft replacement).
+
+Reference recipe (train.py:990-1006): r=128, alpha=256, dropout 0.05 (noop at
+our bf16 inference), applied to EVERY decoder Linear (find_all_linear_names,
+train.py:176-189). Here adapters are extra leaves inside each projection's
+param dict — {'lora_a': [L, in, r], 'lora_b': [L, r, out], 'lora_scale'} —
+applied in llama._proj as y += (x @ A) @ B * scale. The backbone kernel may be
+int8 (LoRA over a quantized base = the reference's 8-bit k-bit training path).
+
+`merge_lora` folds adapters into the kernels, the merge_lora_weights.py
+equivalent for deployment.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+LORA_TARGET_GROUPS = ("attn", "mlp")  # all decoder linears
+LORA_TARGET_NAMES = {
+    "attn": ("q", "k", "v", "out"),
+    "mlp": ("gate", "up", "down"),
+}
+
+
+def add_lora_params(
+    rng: jax.Array,
+    llm_params: Dict,
+    rank: int = 128,
+    alpha: float = 256.0,
+    dtype=jnp.float32,
+    include_lm_head: bool = False,
+) -> Dict:
+    """Attach zero-initialized LoRA adapters (A ~ N(0, 1/r), B = 0, peft init)."""
+    out = {k: v for k, v in llm_params.items()}
+    layers = {k: (dict(v) if isinstance(v, dict) else v) for k, v in llm_params["layers"].items()}
+    keys = iter(jax.random.split(rng, 16))
+    for group in LORA_TARGET_GROUPS:
+        g = {}
+        for name in LORA_TARGET_NAMES[group]:
+            proj = dict(layers[group][name])
+            kern = proj["kernel"]
+            n_layers, fan_in, fan_out = kern.shape
+            proj["lora_a"] = (
+                jax.random.normal(next(keys), (n_layers, fan_in, rank)) * (rank ** -0.5)
+            ).astype(dtype)
+            proj["lora_b"] = jnp.zeros((n_layers, rank, fan_out), dtype)
+            # per-layer so lax.scan can slice the leading axis like every
+            # other stacked leaf
+            proj["lora_scale"] = jnp.full((n_layers,), alpha / rank, jnp.float32)
+            g[name] = proj
+        layers[group] = g
+    out["layers"] = layers
+    if include_lm_head and "lm_head" in out:
+        head = dict(out["lm_head"])
+        fan_in, fan_out = head["kernel"].shape[-2:]
+        head["lora_a"] = (
+            jax.random.normal(next(keys), (fan_in, rank)) * (rank ** -0.5)
+        ).astype(dtype)
+        head["lora_b"] = jnp.zeros((rank, fan_out), dtype)
+        head["lora_scale"] = jnp.asarray(alpha / rank, jnp.float32)
+        out["lm_head"] = head
+    return out
+
+
+def merge_lora(llm_params: Dict) -> Dict:
+    """Fold adapters into kernels; drop the lora leaves (merge_and_unload)."""
+
+    def merge_proj(proj: Dict) -> Dict:
+        if "lora_a" not in proj:
+            return proj
+        a = jnp.asarray(proj["lora_a"], jnp.float32)
+        b = jnp.asarray(proj["lora_b"], jnp.float32)
+        scale = jnp.asarray(proj["lora_scale"], jnp.float32)
+        if scale.ndim == 1:  # stacked per-layer scale -> broadcast over (in, out)
+            scale = scale[:, None, None]
+        delta = jnp.einsum("...ir,...ro->...io", a, b) * scale
+        kern = proj["kernel"]
+        if kern.dtype == jnp.int8:
+            raise ValueError(
+                "cannot merge LoRA into int8 weights; dequantize first or keep "
+                "adapters unmerged (the reference also skips merge under 8-bit, "
+                "builder.py:65-72)"
+            )
+        merged = (kern.astype(jnp.float32) + delta).astype(kern.dtype)
+        return {"kernel": merged}
+
+    out = {k: v for k, v in llm_params.items()}
+    layers = {}
+    for gname, group in llm_params["layers"].items():
+        if gname in LORA_TARGET_GROUPS:
+            layers[gname] = {n: merge_proj(p) for n, p in group.items()}
+        else:
+            layers[gname] = group
+    out["layers"] = layers
+    if "lm_head" in out and "lora_a" in out["lm_head"]:
+        out["lm_head"] = merge_proj(out["lm_head"])
+    return out
+
+
+def lora_trainable_filter(path: str) -> bool:
+    """Trainable-param predicate for make_train_step: LoRA adapters + the
+    projector (reference: LoRA on LLM, mm_projector tuned with its own lr)."""
+    return (
+        path.endswith("lora_a")
+        or path.endswith("lora_b")
+        or "/projector/" in path
+        or path.startswith("projector/")
+    )

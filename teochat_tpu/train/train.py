@@ -1,0 +1,271 @@
+"""Train driver: the TEOChat fine-tuning recipe, TPU-native.
+
+Rebuild of reference videollava/train/train.py:915-1134 + llava_trainer.py:
+HfArgumentParser-style dataclass configs (train.py:48-120), frozen tower +
+LoRA r=128/alpha=256 on all decoder linears (:990-1006), separate projector
+learning rate (llava_trainer.py:150-237), AdamW + cosine + warmup
+(train_teochat.sh:31-34), modality-grouped batching, Orbax checkpointing with
+checkpoint-* auto-resume (:1109-1112) and the LoRA/non-LoRA split save
+(:1117-1130 equivalent: adapters + projector saved as their own subtree).
+
+DeepSpeed ZeRO is replaced by the GSPMD mesh: params/grads/optimizer state
+shard over (data, fsdp, model) via parallel/sharding.py; gradient remat
+replaces HF gradient checkpointing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import MeshConfig, TEOChatConfig
+from teochat_tpu.data.dataset import (
+    DataArguments,
+    make_supervised_data_module,
+    set_default_conversation,
+)
+from teochat_tpu.data.sampler import LengthGroupedSampler
+from teochat_tpu.checkpoint.orbax_io import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from teochat_tpu.parallel import create_mesh, shard_params
+from teochat_tpu.train.lora import add_lora_params, lora_trainable_filter
+from teochat_tpu.train.trainer import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from teochat_tpu.utils import rank0_print
+
+
+@dataclass
+class ModelArguments:
+    """Reference ModelArguments (train.py:48-72)."""
+
+    model_name_or_path: Optional[str] = None
+    version: str = "v1"
+    freeze_backbone: bool = True
+    tune_mm_mlp_adapter: bool = False
+    freeze_mm_mlp_adapter: bool = False
+    mm_vision_select_layer: int = -2
+    mm_vision_select_feature: str = "patch"
+    pretrain_mm_mlp_adapter: Optional[str] = None
+
+
+@dataclass
+class TrainingArguments:
+    """Reference TrainingArguments extension (train.py:102-120) + mesh knobs."""
+
+    output_dir: str = "./checkpoints/teochat"
+    num_train_epochs: int = 1
+    max_steps: Optional[int] = None
+    per_device_train_batch_size: int = 4
+    learning_rate: float = 2e-4
+    mm_projector_lr: Optional[float] = 2e-5
+    warmup_ratio: float = 0.03
+    weight_decay: float = 0.0
+    logging_steps: int = 10
+    save_steps: int = 2000
+    save_total_limit: int = 10
+    seed: int = 42
+    bf16: bool = True
+    lora_enable: bool = True
+    lora_r: int = 128
+    lora_alpha: float = 256.0
+    lora_dropout: float = 0.05  # inert at inference; kept for config parity
+    bits: int = 16  # 8 -> int8 backbone under LoRA (k-bit training)
+    group_by_modality_length: bool = True
+    gradient_checkpointing: bool = True
+    mesh: MeshConfig = field(default_factory=lambda: MeshConfig(fsdp=-1))
+    report_to: str = "tensorboard"
+
+
+def _batches(dataset, collator, sampler: Iterable[int], batch_size: int):
+    buf: List[int] = []
+    for idx in sampler:
+        buf.append(idx)
+        if len(buf) == batch_size:
+            yield collator([dataset[i] for i in buf])
+            buf = []
+
+
+def _prune_checkpoints(output_dir: str, keep: int) -> None:
+    import re
+    import shutil
+
+    ckpts = sorted(
+        (
+            (int(m.group(1)), os.path.join(output_dir, n))
+            for n in os.listdir(output_dir)
+            if (m := re.match(r"^checkpoint-(\d+)$", n))
+        ),
+    )
+    for _, path in ckpts[:-keep] if keep > 0 else []:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def train(
+    model_args: ModelArguments,
+    data_args: DataArguments,
+    training_args: TrainingArguments,
+    *,
+    cfg: Optional[TEOChatConfig] = None,
+    params: Optional[Dict] = None,
+    tokenizer=None,
+    dataset=None,
+    max_steps_override: Optional[int] = None,
+) -> TrainState:
+    """Run fine-tuning. cfg/params/tokenizer/dataset injectable for tests;
+    otherwise loaded from model_args.model_name_or_path via the builder."""
+    np.random.seed(training_args.seed)
+    set_default_conversation(model_args.version)
+
+    if params is None or cfg is None:
+        from teochat_tpu.builder import load_pretrained_model
+
+        tokenizer, model, processors, _ = load_pretrained_model(
+            model_args.model_name_or_path,
+            load_8bit=(training_args.bits == 8),
+        )
+        cfg, params = model.cfg, model.params
+        data_args.image_processor = processors["image"]
+
+    # LoRA + freezing (reference train.py:974-1006)
+    trainable_filter = None
+    if training_args.lora_enable:
+        params = dict(params)
+        params["llm"] = add_lora_params(
+            jax.random.PRNGKey(training_args.seed),
+            params["llm"],
+            rank=training_args.lora_r,
+            alpha=training_args.lora_alpha,
+        )
+        trainable_filter = lora_trainable_filter
+    elif model_args.tune_mm_mlp_adapter:
+        trainable_filter = lambda p: "projector" in p  # noqa: E731
+    elif model_args.freeze_backbone:
+        trainable_filter = lambda p: not p.startswith("vision/")  # noqa: E731
+    if model_args.freeze_mm_mlp_adapter and trainable_filter is not None:
+        base = trainable_filter
+        trainable_filter = lambda p: base(p) and "projector" not in p  # noqa: E731
+
+    # data
+    module = make_supervised_data_module(
+        tokenizer, data_args,
+        tokens_per_frame=cfg.vision.num_patches
+        if cfg.mm_vision_select_feature == "patch"
+        else cfg.vision.num_patches + 1,
+        max_length=cfg.tokenizer_model_max_length,
+        dataset=dataset,
+    )
+    train_dataset, collator = module["train_dataset"], module["data_collator"]
+
+    steps_per_epoch = max(len(train_dataset) // training_args.per_device_train_batch_size, 1)
+    total_steps = (
+        max_steps_override
+        or training_args.max_steps
+        or steps_per_epoch * training_args.num_train_epochs
+    )
+
+    optimizer = make_optimizer(
+        training_args.learning_rate,
+        projector_lr=training_args.mm_projector_lr,
+        warmup_ratio=training_args.warmup_ratio,
+        total_steps=total_steps,
+        weight_decay=training_args.weight_decay,
+    )
+
+    mesh = create_mesh(training_args.mesh) if jax.device_count() > 1 else None
+    if mesh is not None:
+        params = shard_params(params, mesh)
+
+    # auto-resume (reference train.py:1109-1112)
+    resume = latest_checkpoint(training_args.output_dir)
+    start_step = 0
+    if resume is not None:
+        rank0_print(f"Resuming from {resume}")
+        opt_template = jax.eval_shape(optimizer.init, params)
+        params_r, _, opt_state = load_checkpoint(
+            resume, restore_opt=True,
+            params_template=params, opt_template=opt_template,
+        )
+        params = params_r
+        state = TrainState(
+            params=params,
+            opt_state=opt_state
+            if opt_state is not None
+            else optimizer.init(params),
+            step=jnp.asarray(int(os.path.basename(resume).split("-")[1])),
+        )
+        start_step = int(state.step)
+    else:
+        state = jax.jit(lambda p: init_train_state(p, optimizer))(params)
+
+    train_step = make_train_step(cfg, optimizer, trainable_filter=trainable_filter)
+
+    writer = None
+    if training_args.report_to == "tensorboard":
+        try:
+            from tensorboardX import SummaryWriter
+
+            writer = SummaryWriter(os.path.join(training_args.output_dir, "tb"))
+        except ImportError:
+            pass
+
+    sampler = LengthGroupedSampler(
+        training_args.per_device_train_batch_size,
+        world_size=jax.process_count(),
+        lengths=train_dataset.modality_lengths,
+        generator=np.random.default_rng(training_args.seed),
+        group_by_modality=training_args.group_by_modality_length,
+    )
+
+    step = start_step
+    t0 = time.time()
+    for epoch in range(training_args.num_train_epochs):
+        for plan, pixels in _batches(
+            train_dataset, collator, sampler, training_args.per_device_train_batch_size
+        ):
+            if step >= total_steps:
+                break
+            pixels = jnp.asarray(
+                pixels, jnp.bfloat16 if training_args.bf16 else jnp.float32
+            )
+            state, loss = train_step(state, plan, pixels)
+            step += 1
+            if step % training_args.logging_steps == 0:
+                loss_v = float(loss)
+                rank0_print(
+                    f"step {step}/{total_steps} loss {loss_v:.4f} "
+                    f"({(time.time() - t0) / training_args.logging_steps:.2f}s/step)"
+                )
+                if writer is not None:
+                    writer.add_scalar("train/loss", loss_v, step)
+                t0 = time.time()
+            if step % training_args.save_steps == 0:
+                save_checkpoint(
+                    training_args.output_dir, state.params, cfg,
+                    opt_state=state.opt_state, step=step,
+                )
+                _prune_checkpoints(
+                    training_args.output_dir, training_args.save_total_limit
+                )
+        if step >= total_steps:
+            break
+
+    # final save: adapters + projector split (reference train.py:1117-1130)
+    save_checkpoint(training_args.output_dir, state.params, cfg, step=step)
+    if writer is not None:
+        writer.close()
+    return state
