@@ -69,3 +69,26 @@ def rank0_print(*args, **kwargs) -> None:
 
     if jax.process_index() == 0:
         print(*args, **kwargs)
+
+
+class profile_trace:
+    """jax.profiler trace context (SURVEY §5 tracing plan: Perfetto-viewable
+    traces via a --profile_dir flag on the train/eval drivers). No-op when
+    `profile_dir` is None."""
+
+    def __init__(self, profile_dir):
+        self.profile_dir = profile_dir
+
+    def __enter__(self):
+        if self.profile_dir:
+            import jax
+
+            jax.profiler.start_trace(self.profile_dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False

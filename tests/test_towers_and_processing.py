@@ -1,0 +1,82 @@
+"""Tower builder dispatch + modality preprocessing tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import VisionConfig
+from teochat_tpu.data.processing import ImageProcessor
+from teochat_tpu.data.processing_extra import (
+    AudioProcessor,
+    DepthProcessor,
+    ThermalProcessor,
+    VideoProcessor,
+    uniform_frame_indices,
+)
+from teochat_tpu.models.towers import VisionTower, build_vision_tower, build_video_tower
+
+TINY = VisionConfig(
+    image_size=28, patch_size=14, hidden_size=32, intermediate_size=64,
+    num_layers=2, num_heads=4, num_frames=4,
+)
+
+
+def test_build_dispatch():
+    t_img = build_vision_tower("LanguageBind/LanguageBind_Image", base_cfg=TINY)
+    assert not t_img.cfg.add_time_attn
+    t_vid = build_video_tower("LanguageBind/LanguageBind_Video_merge", base_cfg=TINY)
+    assert t_vid.cfg.add_time_attn
+    t_oai = build_vision_tower("openai/clip-vit-large-patch14", base_cfg=TINY)
+    assert not t_oai.cfg.add_time_attn
+    with pytest.raises(ValueError):
+        build_vision_tower("mystery-tower")
+
+
+def test_tower_forward_and_props():
+    tower = build_vision_tower("LanguageBind_Image", base_cfg=TINY)
+    assert not tower.is_loaded
+    tower.load_model(rng=jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).randn(3, 3, 28, 28), jnp.float32)
+    feats = tower(x)
+    assert feats.shape == (3, tower.num_patches, tower.hidden_size)
+
+
+def test_video_tower_encode_videos():
+    tower = build_video_tower("LanguageBind_Video_merge", base_cfg=TINY)
+    tower.load_model(rng=jax.random.PRNGKey(1))
+    vids = jnp.asarray(np.random.RandomState(1).randn(2, 4, 3, 28, 28), jnp.float32)
+    feats = tower.encode_videos(vids)
+    assert feats.shape == (2, 4, 4, 32)  # [B, T, patches, D]
+
+
+def test_uniform_frame_indices():
+    idx = uniform_frame_indices(100, 8)
+    assert len(idx) == 8 and idx[0] == 0 and idx[-1] == 99
+    assert uniform_frame_indices(3, 8).tolist()[:3] == [0, 0, 1]
+
+
+def test_video_processor_from_frames():
+    vp = VideoProcessor(num_frames=4, size=28)
+    frames = [np.random.RandomState(i).randint(0, 255, (30, 40, 3), np.uint8) for i in range(9)]
+    out = vp.preprocess([frames])["pixel_values"]
+    assert out.shape == (1, 4, 3, 28, 28)
+
+
+def test_depth_and_thermal_processor():
+    dp = DepthProcessor(size=28)
+    depth = np.random.RandomState(0).rand(50, 60) * 10
+    out = dp.preprocess(depth)["pixel_values"]
+    assert out.shape == (1, 3, 28, 28)
+    tp = ThermalProcessor(size=28)
+    out2 = tp.preprocess(depth)["pixel_values"]
+    assert out2.shape == (1, 3, 28, 28)
+
+
+def test_audio_processor():
+    ap = AudioProcessor(sample_rate=8000, num_mels=16, target_length=64, size=28)
+    wav = np.sin(np.linspace(0, 440 * 2 * np.pi, 8000)).astype(np.float32)
+    out = ap.preprocess(wav)["pixel_values"]
+    assert out.shape == (1, 3, 28, 28)
+    assert np.isfinite(out).all()
