@@ -81,7 +81,7 @@ def phase_encode():
     return {"encode_s_per_batch16": dt, "encode_frames_per_sec": enc_batch / dt}
 
 
-def _build_decode_setup():
+def _build_decode_setup(batch: int = 1):
     import numpy as np
     import jax, jax.numpy as jnp
     from teochat_tpu.config import TEOChatConfig
@@ -96,11 +96,11 @@ def _build_decode_setup():
 
     prompt_len, max_new = 640, 64
     t_max = prompt_len + max_new + 1
-    ids = [[1] + [IMAGE_TOKEN_INDEX, 7] * 2 + list(range(10, 10 + 123))]
+    ids = [[1] + [IMAGE_TOKEN_INDEX, 7] * 2 + list(range(10, 10 + 123))] * batch
     plan = fusion_mod.build_fusion_plan(ids, tokens_per_frame=256, pad_to=prompt_len)
     # stand-in fused embeddings (encode phase measures the tower separately)
     embeds = jnp.asarray(
-        np.random.RandomState(1).randn(1, prompt_len, cfg.llm.hidden_size) * 0.02,
+        np.random.RandomState(1).randn(batch, prompt_len, cfg.llm.hidden_size) * 0.02,
         jnp.bfloat16,
     )
     stop = gen_mod.StopSpec(
@@ -110,7 +110,7 @@ def _build_decode_setup():
     )
 
     def run_generate(n_new):
-        cache = llama_mod.init_cache(cfg.llm, 1, t_max, dtype=jnp.bfloat16)
+        cache = llama_mod.init_cache(cfg.llm, batch, t_max, dtype=jnp.bfloat16)
         toks, n = gen_mod.generate_tokens(
             llm, cfg.llm, embeds, plan.seq_lens, plan.attention_mask,
             plan.position_ids, cache, stop, jax.random.PRNGKey(0),
@@ -147,6 +147,28 @@ def phase_decode():
         "full_loop_s": t_full,
         "prefill_tokens": prompt_len,
     }
+
+
+def phase_decode_bs8():
+    """Serving throughput: 8 concurrent sequences share each weight read."""
+    import jax.numpy as jnp
+
+    run_generate, max_new, _ = _build_decode_setup(batch=8)
+    out = [None]
+
+    def full():
+        out[0] = run_generate(max_new)
+
+    def one():
+        out[0] = run_generate(1)
+
+    def sync():
+        int(jnp.sum(out[0]))
+
+    t_full = _timeit(full, iters=3, sync=sync)
+    t_one = _timeit(one, iters=3, sync=sync)
+    tok_s = 8 * (max_new - 1) / (t_full - t_one)
+    return {"decode_tokens_per_sec_bs8": tok_s}
 
 
 def phase_e2e():
@@ -198,7 +220,12 @@ def phase_e2e():
     return {"xbd_2frame_e2e_latency_s_32newtok": t}
 
 
-PHASES = {"encode": phase_encode, "decode": phase_decode, "e2e": phase_e2e}
+PHASES = {
+    "encode": phase_encode,
+    "decode": phase_decode,
+    "decode_bs8": phase_decode_bs8,
+    "e2e": phase_e2e,
+}
 
 
 def _run_phase_subprocess(name, retries=1):
@@ -225,7 +252,7 @@ def main():
         return
 
     results = {}
-    for name in ("decode", "encode", "e2e"):
+    for name in ("decode", "decode_bs8", "encode", "e2e"):
         _log(f"running phase {name}")
         r = _run_phase_subprocess(name)
         if r:
@@ -249,6 +276,9 @@ def main():
                 results.get("xbd_2frame_e2e_latency_s_32newtok", 0.0), 4
             ),
             "prefill_tokens": results.get("prefill_tokens", 640),
+            "decode_tokens_per_sec_bs8": round(
+                results.get("decode_tokens_per_sec_bs8", 0.0), 1
+            ),
         },
     }
     print(json.dumps(out))

@@ -106,6 +106,7 @@ def _attention_layer(
     k_cache: Optional[jnp.ndarray],
     v_cache: Optional[jnp.ndarray],
     write_slots: Optional[jnp.ndarray],
+    right_padded: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Self-attention with optional KV cache.
 
@@ -122,8 +123,21 @@ def _attention_layer(
     k = apply_rope(k, cos, sin)
 
     if k_cache is None:
-        # cache-free path: plain causal self-attention over S (plus padding mask)
-        out = dot_product_attention(q, k, v, causal=True, mask=kv_mask)
+        if (
+            right_padded
+            and jax.default_backend() == "tpu"
+            and cfg.head_dim % 128 == 0
+            and s % 128 == 0
+            and cfg.num_kv_heads == cfg.num_heads  # vjp kernel is full-head
+        ):
+            # right padding + causal => the mask is redundant; use the
+            # differentiable Pallas flash kernel (fwd + custom bwd)
+            from teochat_tpu.ops.flash_attention import flash_attention_trainable
+
+            out = flash_attention_trainable(q, k, v, True, None)
+        else:
+            # cache-free path: causal self-attention over S (plus padding mask)
+            out = dot_product_attention(q, k, v, causal=True, mask=kv_mask)
     else:
         batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
         k_cache = k_cache.at[batch_idx, write_slots].set(k.astype(k_cache.dtype))
@@ -153,10 +167,12 @@ def _mlp(x: jnp.ndarray, lp: Params) -> jnp.ndarray:
     return _proj(gate * _proj(x, lp["up"]), lp["down"])
 
 
-def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache, write_slots):
+def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
+                   write_slots, right_padded=False):
     y = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
     attn_out, k_cache, v_cache = _attention_layer(
-        y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache, write_slots
+        y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
+        write_slots, right_padded
     )
     x = x + attn_out
     y = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
@@ -183,6 +199,7 @@ def llama_forward(
     logits_mode: str = "all",  # all | last | none
     last_index: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    right_padded: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -201,7 +218,7 @@ def llama_forward(
     layer_fn = _decoder_layer
     if remat:
         layer_fn = jax.checkpoint(
-            _decoder_layer, static_argnums=(2,),
+            _decoder_layer, static_argnums=(2, 10),
             policy=jax.checkpoint_policies.nothing_saveable,
         )
 
@@ -209,7 +226,10 @@ def llama_forward(
         mask2d = attention_mask
 
         def body(carry, lp):
-            y, _, _ = layer_fn(carry, lp, cfg, cos, sin, mask2d, None, None, None, None)
+            y, _, _ = layer_fn(
+                carry, lp, cfg, cos, sin, mask2d, None, None, None, None,
+                right_padded,
+            )
             return y, None
 
         x, _ = jax.lax.scan(body, x, params["layers"])

@@ -87,6 +87,7 @@ def forward_train(
     logits, _ = llama_mod.llama_forward(
         params["llm"], cfg.llm, embeds,
         position_ids=plan.position_ids, attention_mask=plan.attention_mask,
+        right_padded=True,  # fusion plans are right-padded; enables flash vjp
     )
     shift_logits = logits[:, :-1]
     shift_labels = plan.labels[:, 1:]

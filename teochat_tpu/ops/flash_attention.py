@@ -202,3 +202,318 @@ def flash_attention(
         interpret=interpret,
     )
     return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------- backward
+#
+# custom_vjp flash attention for training (the reference trains through its
+# Triton kernel's fwd+bwd, flash_attn_triton.py:306-399). Forward additionally
+# saves per-row softmax stats (m = running max, l = denominator); backward runs
+# two kernels with opposite iteration orders:
+#   dKV: for each kv tile, sweep q tiles, accumulating dk/dv in VMEM scratch;
+#   dQ:  for each q tile, sweep kv tiles, accumulating dq.
+# di = rowsum(o * do) is precomputed once outside both kernels.
+
+
+def _flash_fwd_res_kernel(q_ref, k_ref, v_ref, o_ref, m_out, l_out,
+                          m_scratch, l_scratch, acc_scratch,
+                          *, causal, scale, block_q, block_k):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    should_run = True
+    if causal:
+        should_run = (kv_idx * block_k) <= (q_idx * block_q + block_q - 1)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = (q_idx * block_q + row) >= (kv_idx * block_k + col)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+        v = v_ref[0, 0]
+        o_curr = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        # stats padded to 128 lanes (TPU block layout wants (8,128) tiles)
+        m_out[0, 0] = m_scratch[...]
+        l_out[0, 0] = l_scratch[...]
+
+
+def _flash_fwd_with_residuals(q, k, v, *, causal, scale, block_q, block_k,
+                              interpret=False):
+    b, h, s, d = q.shape
+    t = k.shape[2]
+    grid = (b, h, pl.cdiv(s, block_q), pl.cdiv(t, block_k))
+    kernel = functools.partial(
+        _flash_fwd_res_kernel, causal=causal, scale=scale,
+        block_q=block_q, block_k=block_k,
+    )
+    o, m, l = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, s, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, s, 128), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, m, l
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
+                    dk_ref, dv_ref, dk_scratch, dv_scratch,
+                    *, causal, scale, block_q, block_k):
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+    num_q = pl.num_programs(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    should_run = True
+    if causal:
+        # q tile contributes iff its last row >= kv tile's first row
+        should_run = (q_idx * block_q + block_q - 1) >= (kv_idx * block_k)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        m = m_ref[0, 0][:, :1]   # [block_q, 1] (lane-padded stats)
+        l = l_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = (q_idx * block_q + row) >= (kv_idx * block_k + col)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        p = jnp.exp(s - m) * l_inv  # [block_q, block_k] softmax probs
+        # dV += P^T @ dO
+        dv_scratch[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # dP = dO @ V^T ; dS = P * (dP - di)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di)
+        # dK += dS^T @ Q * scale
+        dk_scratch[...] += jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(q_idx == num_q - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
+                   dq_ref, dq_scratch,
+                   *, causal, scale, block_q, block_k):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    should_run = True
+    if causal:
+        should_run = (kv_idx * block_k) <= (q_idx * block_q + block_q - 1)
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        m = m_ref[0, 0][:, :1]
+        l = l_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = (q_idx * block_q + row) >= (kv_idx * block_k + col)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        p = jnp.exp(s - m) * l_inv
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di)
+        dq_scratch[...] += jax.lax.dot(
+            ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
+        ) * scale
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, m, l, do, *, causal, scale, block_q, block_k,
+               interpret=False):
+    b, h, s, d = q.shape
+    t = k.shape[2]
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,S]
+    di = jnp.broadcast_to(di[..., None], di.shape + (128,))
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0))
+    row_spec = pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, causal=causal, scale=scale,
+                          block_q=block_q, block_k=block_k),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(b, h, pl.cdiv(t, block_k), pl.cdiv(s, block_q)),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec, row_spec],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, m, l, di)
+
+    q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    kv_spec2 = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+    row_spec2 = pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, causal=causal, scale=scale,
+                          block_q=block_q, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(b, h, pl.cdiv(s, block_q), pl.cdiv(t, block_k)),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2, row_spec2],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, m, l, di)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def flash_attention_trainable(q, k, v, causal=True, scale=None,
+                              block_q=128, block_k=128, interpret=False):
+    """Differentiable flash attention, [B, S, H, D] layout, full-head K/V.
+
+    Padding note: with right-padded batches and causal=True no explicit mask
+    is needed — padded keys sit after every valid query and padded queries'
+    gradients arrive as zeros through the loss mask.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    o, _, _ = _flash_fwd_with_residuals(
+        qt, kt, vt, causal=causal, scale=scale,
+        block_q=min(block_q, q.shape[1]), block_k=min(block_k, k.shape[1]),
+        interpret=interpret,
+    )
+    return o.transpose(0, 2, 1, 3)
+
+
+def _fa_fwd(q, k, v, causal, scale, block_q, block_k, interpret):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    bq, bk = min(block_q, q.shape[1]), min(block_k, k.shape[1])
+    o, m, l = _flash_fwd_with_residuals(
+        qt, kt, vt, causal=causal, scale=scale, block_q=bq, block_k=bk,
+        interpret=interpret,
+    )
+    return o.transpose(0, 2, 1, 3), (qt, kt, vt, o, m, l)
+
+
+def _fa_bwd(causal, scale, block_q, block_k, interpret, res, g):
+    qt, kt, vt, o, m, l = res
+    if scale is None:
+        scale = qt.shape[-1] ** -0.5
+    bq, bk = min(block_q, qt.shape[2]), min(block_k, kt.shape[2])
+    do = g.transpose(0, 2, 1, 3)
+    dq, dk, dv = _flash_bwd(
+        qt, kt, vt, o, m, l, do, causal=causal, scale=scale,
+        block_q=bq, block_k=bk, interpret=interpret,
+    )
+    return (
+        dq.transpose(0, 2, 1, 3),
+        dk.transpose(0, 2, 1, 3),
+        dv.transpose(0, 2, 1, 3),
+    )
+
+
+flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)

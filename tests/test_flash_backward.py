@@ -1,0 +1,70 @@
+"""Flash-attention custom_vjp: gradient parity vs the XLA path (interpreter)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.ops.attention import xla_attention
+from teochat_tpu.ops.flash_attention import flash_attention_trainable
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape), jnp.float32)
+
+
+@pytest.mark.parametrize("s", [128, 256])
+def test_forward_matches_xla(s):
+    b, h, d = 1, 2, 64
+    q, k, v = _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand((b, s, h, d), 2)
+    ref = xla_attention(q, k, v, causal=True)
+    got = flash_attention_trainable(q, k, v, True, None, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("s,causal", [(128, True), (256, True), (128, False)])
+def test_gradients_match_xla(s, causal):
+    b, h, d = 1, 2, 64
+    q, k, v = _rand((b, s, h, d), 3), _rand((b, s, h, d), 4), _rand((b, s, h, d), 5)
+    # scale down so exp() stays tame for the fp32 comparison
+    q, k = q * 0.3, k * 0.3
+
+    def loss_flash(q, k, v):
+        o = flash_attention_trainable(q, k, v, causal, None, 128, 128, True)
+        return jnp.sum(o * jnp.cos(o))  # nontrivial upstream gradient
+
+    def loss_xla(q, k, v):
+        o = xla_attention(q, k, v, causal=causal)
+        return jnp.sum(o * jnp.cos(o))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_gradients_multi_tile_causal():
+    """Several q/kv tiles with causal skipping: exercises both kernels' grids."""
+    b, h, d, s = 1, 1, 64, 384
+    q, k, v = _rand((b, s, h, d), 6), _rand((b, s, h, d), 7), _rand((b, s, h, d), 8)
+    q, k = q * 0.2, k * 0.2
+
+    def loss(fn):
+        def inner(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+
+        return inner
+
+    gf = jax.grad(
+        loss(lambda q, k, v: flash_attention_trainable(q, k, v, True, None, 128, 128, True)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gx = jax.grad(
+        loss(lambda q, k, v: xla_attention(q, k, v, causal=True)), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3)
