@@ -72,7 +72,11 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _proj(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    if "scale" in p:  # int8 weight-only path (ops/quant.py)
+    if "packed" in p:  # int4 weight-only path (ops/quant.py w4a16)
+        from teochat_tpu.ops.quant import int4_proj
+
+        y = int4_proj(x, p)
+    elif "scale" in p:  # int8 weight-only path (ops/quant.py)
         from teochat_tpu.ops.quant import quantized_proj
 
         y = quantized_proj(x, p)
@@ -262,11 +266,16 @@ def llama_forward(
             preferred_element_type=jnp.float32,
         )
     else:
+        if "packed" in head:  # int4 weight-only lm_head
+            from teochat_tpu.ops.quant import unpack_int4
+
+            kernel = unpack_int4(head["packed"], x.dtype)
+        else:
+            kernel = head["kernel"].astype(x.dtype)
         logits = jnp.einsum(
-            "bsd,dv->bsv", x, head["kernel"].astype(x.dtype),
-            preferred_element_type=jnp.float32,
+            "bsd,dv->bsv", x, kernel, preferred_element_type=jnp.float32,
         )
-        if "scale" in head:  # int8 weight-only lm_head
+        if "scale" in head:  # int8/int4 weight-only lm_head
             logits = logits * head["scale"].astype(jnp.float32)
     return logits.astype(jnp.float32), new_cache
 

@@ -112,3 +112,104 @@ def random_int8_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
         },
     }
     return params
+
+
+# ---------------------------------------------------------------- int4 (w4a16)
+#
+# Beyond-reference: bs=1 decode is HBM-bandwidth-bound (see bench.py roofline
+# note), so int4 weight-only nearly doubles single-stream tokens/sec. Two
+# nibbles pack into one uint8 along the INPUT dim (even rows in the low
+# nibble); dequant is (nibble - 8) * scale with per-output-channel scales.
+# This is a TPU-native w4a16 path, not bitsandbytes nf4 (no lookup table).
+
+
+def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[in, out] fp -> {'packed': uint8 [in/2, out], 'scale': fp32 [out],
+    }. Symmetric, range [-8, 7] mapped via offset-8 nibbles; detection is by
+    the 'packed' key."""
+    k32 = jnp.asarray(kernel, jnp.float32)
+    fan_in = k32.shape[-2]
+    assert fan_in % 2 == 0, "int4 packing needs even fan-in"
+    amax = jnp.max(jnp.abs(k32), axis=-2)
+    scale = jnp.where(amax == 0, 1.0, amax / 7.0)
+    q = jnp.clip(jnp.round(k32 / scale[..., None, :]), -8, 7).astype(jnp.int32) + 8
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    return {"packed": packed, "scale": scale}
+
+
+def unpack_int4(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """uint8 [..., in/2, out] -> [..., in, out] centered int4 values."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    # interleave back along fan-in: even rows lo, odd rows hi
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
+    return stacked.reshape(shape).astype(dtype)
+
+
+def int4_proj(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """y = (x @ unpack(W_i4)) * scale; XLA fuses the unpack into the read."""
+    w = unpack_int4(p["packed"], x.dtype)
+    y = jnp.einsum("...d,df->...f", x, w, preferred_element_type=jnp.float32)
+    return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
+
+
+def quantize_llama_params_int4(params: Dict, quantize_lm_head: bool = True) -> Dict:
+    """Quantize decoder projections to packed int4 (layer-stacked kernels)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for group in _QUANT_TARGETS:
+        g = {}
+        for name, proj in layers[group].items():
+            g[name] = quantize_kernel_int4(proj["kernel"])
+        layers[group] = g
+    out["layers"] = {**layers}
+    if quantize_lm_head and "lm_head" in params:
+        out["lm_head"] = quantize_kernel_int4(params["lm_head"]["kernel"])
+    return out
+
+
+def random_int4_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
+    """Random packed-int4 decoder for benchmarking."""
+    keys = iter(jax.random.split(rng, 32))
+    d, i_sz, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    hkv_d = cfg.num_kv_heads * cfg.head_dim
+
+    def qproj(key, fan_in, fan_out):
+        packed = jax.random.randint(key, (L, fan_in // 2, fan_out), 0, 256, jnp.int32)
+        return {
+            "packed": packed.astype(jnp.uint8),
+            "scale": jnp.full((L, fan_out), 0.02 / 7, jnp.float32),
+        }
+
+    return {
+        "embed_tokens": {
+            "embedding": (
+                jax.random.normal(next(keys), (cfg.vocab_size, d)) * 0.02
+            ).astype(embed_dtype)
+        },
+        "layers": {
+            "input_norm": {"scale": jnp.ones((L, d), jnp.float32)},
+            "attn": {
+                "q": qproj(next(keys), d, d),
+                "k": qproj(next(keys), d, hkv_d),
+                "v": qproj(next(keys), d, hkv_d),
+                "out": qproj(next(keys), d, d),
+            },
+            "post_attn_norm": {"scale": jnp.ones((L, d), jnp.float32)},
+            "mlp": {
+                "gate": qproj(next(keys), d, i_sz),
+                "up": qproj(next(keys), d, i_sz),
+                "down": qproj(next(keys), i_sz, d),
+            },
+        },
+        "final_norm": {"scale": jnp.ones((d,), jnp.float32)},
+        "lm_head": {
+            "packed": jax.random.randint(
+                next(keys), (d // 2, cfg.vocab_size), 0, 256, jnp.int32
+            ).astype(jnp.uint8),
+            "scale": jnp.full((cfg.vocab_size,), 0.02 / 7, jnp.float32),
+        },
+    }

@@ -50,3 +50,39 @@ def test_int8_forward_close_to_fp32():
     # int8 is approximate; logits must correlate strongly
     r = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
     assert r > 0.999, r
+
+
+def test_int4_roundtrip_and_proj():
+    import jax.numpy as jnp
+
+    from teochat_tpu.ops.quant import (
+        int4_proj,
+        quantize_kernel_int4,
+        unpack_int4,
+    )
+
+    w = jnp.asarray(np.random.RandomState(4).randn(16, 24), jnp.float32)
+    q = quantize_kernel_int4(w)
+    assert q["packed"].shape == (8, 24) and q["packed"].dtype == jnp.uint8
+    w2 = unpack_int4(q["packed"], jnp.float32) * q["scale"][None, :]
+    err = jnp.abs(w - w2)
+    assert float(jnp.max(err / q["scale"][None, :])) <= 0.5 + 1e-5
+
+    x = jnp.asarray(np.random.RandomState(5).randn(3, 16), jnp.float32)
+    ref = x @ np.asarray(w2)
+    got = int4_proj(x, q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_int4_forward_correlates():
+    from teochat_tpu.ops.quant import quantize_llama_params_int4
+
+    params = init_llama(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_llama_params_int4(params)
+    ids = jnp.asarray(np.random.RandomState(6).randint(0, 64, (1, 6)))
+    pos = jnp.arange(6)[None, :]
+    emb = embed_tokens(params, ids)
+    ref, _ = llama_forward(params, CFG, emb, position_ids=pos)
+    got, _ = llama_forward(qparams, CFG, emb, position_ids=pos)
+    r = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert r > 0.98, r

@@ -80,3 +80,18 @@ def test_audio_processor():
     out = ap.preprocess(wav)["pixel_values"]
     assert out.shape == (1, 3, 28, 28)
     assert np.isfinite(out).all()
+
+
+def test_device_preprocess_matches_host_closely():
+    """Device path (one-step bicubic) vs host PIL path: same geometry, close values."""
+    import jax.numpy as jnp
+
+    from teochat_tpu.ops.preprocess import preprocess_frames
+
+    frames = np.random.RandomState(0).randint(0, 255, (2, 48, 64, 3), np.uint8)
+    dev = np.asarray(preprocess_frames(jnp.asarray(frames), size=28))
+    host = ImageProcessor(size=28).preprocess(list(frames))["pixel_values"]
+    assert dev.shape == host.shape == (2, 3, 28, 28)
+    # different resampling pipelines; require close agreement, not equality
+    diff = np.abs(dev - host).mean()
+    assert diff < 0.2, diff
