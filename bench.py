@@ -87,17 +87,18 @@ def phase_encode():
     return {"encode_s_per_batch16": dt, "encode_frames_per_sec": enc_batch / dt}
 
 
-def _build_decode_setup(batch: int = 1):
+def _build_decode_setup(batch: int = 1, quant: str = "int8"):
     import numpy as np
     import jax, jax.numpy as jnp
     from teochat_tpu.config import TEOChatConfig
     from teochat_tpu.constants import IMAGE_TOKEN_INDEX
     from teochat_tpu.models import fusion as fusion_mod, generation as gen_mod
     from teochat_tpu.models import llama as llama_mod
-    from teochat_tpu.ops.quant import random_int8_llama
+    from teochat_tpu.ops.quant import random_int4_llama, random_int8_llama
 
     cfg = TEOChatConfig()
-    llm = random_int8_llama(jax.random.PRNGKey(0), cfg.llm)
+    make = random_int4_llama if quant == "int4" else random_int8_llama
+    llm = make(jax.random.PRNGKey(0), cfg.llm)
     jax.block_until_ready(llm)
 
     prompt_len, max_new = 640, 64
@@ -177,6 +178,28 @@ def phase_decode_bs8():
     return {"decode_tokens_per_sec_bs8": tok_s}
 
 
+def phase_decode_int4():
+    """bs=1 decode with packed int4 weights (w4a16): the bandwidth-bound
+    single-stream ceiling is ~2x the int8 one."""
+    import jax.numpy as jnp
+
+    run_generate, max_new, _ = _build_decode_setup(batch=1, quant="int4")
+    out = [None]
+
+    def full():
+        out[0] = run_generate(max_new)
+
+    def one():
+        out[0] = run_generate(1)
+
+    def sync():
+        int(jnp.sum(out[0]))
+
+    t_full = _timeit(full, iters=3, sync=sync)
+    t_one = _timeit(one, iters=3, sync=sync)
+    return {"decode_tokens_per_sec_int4": (max_new - 1) / (t_full - t_one)}
+
+
 def phase_e2e():
     """2-frame encode + prefill + 32 new tokens, one process: e2e latency."""
     import numpy as np
@@ -230,6 +253,7 @@ PHASES = {
     "encode": phase_encode,
     "decode": phase_decode,
     "decode_bs8": phase_decode_bs8,
+    "decode_int4": phase_decode_int4,
     "e2e": phase_e2e,
 }
 
@@ -258,7 +282,7 @@ def main():
         return
 
     results = {}
-    for name in ("decode", "decode_bs8", "encode", "e2e"):
+    for name in ("decode", "decode_bs8", "decode_int4", "encode", "e2e"):
         _log(f"running phase {name}")
         r = _run_phase_subprocess(name)
         if r:
@@ -284,6 +308,9 @@ def main():
             "prefill_tokens": results.get("prefill_tokens", 640),
             "decode_tokens_per_sec_bs8": round(
                 results.get("decode_tokens_per_sec_bs8", 0.0), 1
+            ),
+            "decode_tokens_per_sec_int4_bs1": round(
+                results.get("decode_tokens_per_sec_int4", 0.0), 1
             ),
         },
     }

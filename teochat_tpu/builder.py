@@ -126,6 +126,7 @@ def load_pretrained_model(
     model_name: Optional[str] = None,
     load_8bit: bool = False,
     load_4bit: bool = False,
+    load_int4: bool = False,
     device: Optional[str] = None,
     cache_dir: Optional[str] = None,
     vision_path: Optional[str] = None,
@@ -138,7 +139,8 @@ def load_pretrained_model(
         model_name = get_model_name_from_path(model_path)
     if load_4bit:
         raise NotImplementedError(
-            "nf4 4-bit is not supported on TPU; use load_8bit (int8 weight-only)"
+            "bitsandbytes nf4 is GPU-specific; use load_int4 (TPU-native packed "
+            "w4a16) or load_8bit (int8 weight-only)"
         )
 
     lora_path = None
@@ -215,18 +217,23 @@ def load_pretrained_model(
         "vision": jax.tree.map(lambda x: jnp.asarray(x, dtype), vision_params),
         "projector": jax.tree.map(lambda x: jnp.asarray(x, dtype), proj_params),
     }
-    if load_8bit:
-        from teochat_tpu.ops.quant import quantize_llama_params
+    if load_8bit or load_int4:
+        from teochat_tpu.ops.quant import (
+            quantize_llama_params,
+            quantize_llama_params_int4,
+        )
 
         llm_jnp = jax.tree.map(lambda x: jnp.asarray(x), llm_params)
-        qp = quantize_llama_params(llm_jnp)
+        qp = (
+            quantize_llama_params_int4(llm_jnp)
+            if load_int4
+            else quantize_llama_params(llm_jnp)
+        )
 
         def cast(x):
             return x.astype(dtype) if x.dtype in (jnp.float32, jnp.float64) and x.ndim > 1 else x
 
-        params["llm"] = jax.tree.map(
-            lambda x: x if x.dtype == jnp.int8 else x, qp
-        )
+        params["llm"] = qp
         params["llm"]["embed_tokens"]["embedding"] = jnp.asarray(
             llm_params["embed_tokens"]["embedding"], dtype
         )

@@ -51,14 +51,14 @@ DATASET_NAME_TO_HF_SPLIT = {
 
 
 def load_model(model_path, model_base=None, load_8bit=False, load_4bit=False,
-               cache_dir=None, device=None, vision_path=None):
+               cache_dir=None, device=None, vision_path=None, load_int4=False):
     """(tokenizer, model, image_processor) — reference eval.py:15-34."""
     from teochat_tpu.builder import load_pretrained_model
 
     tokenizer, model, processor, _ = load_pretrained_model(
         model_path, model_base, get_model_name_from_path(model_path),
-        load_8bit=load_8bit, load_4bit=load_4bit, device=device,
-        cache_dir=cache_dir, vision_path=vision_path,
+        load_8bit=load_8bit, load_4bit=load_4bit, load_int4=load_int4,
+        device=device, cache_dir=cache_dir, vision_path=vision_path,
     )
     return tokenizer, model, processor["image"]
 
@@ -69,6 +69,7 @@ def eval(
     model_base: Optional[str] = None,
     load_8bit: bool = False,
     load_4bit: bool = False,
+    load_int4: bool = False,
     cache_dir: Optional[str] = None,
     data_cache_dir: Optional[str] = None,
     out_name: Optional[str] = None,
@@ -124,7 +125,8 @@ def eval(
         else:
             tokenizer, model, processor = load_model(
                 model_path, model_base, load_8bit=load_8bit, load_4bit=load_4bit,
-                cache_dir=cache_dir, device=device, vision_path=vision_path,
+                load_int4=load_int4, cache_dir=cache_dir, device=device,
+                vision_path=vision_path,
             )
         if dataset is None:
             from datasets import load_dataset
@@ -160,6 +162,7 @@ def main(argv=None):
     parser.add_argument("--model_base", type=_str_or_none, default=None)
     parser.add_argument("--load_8bit", action="store_true")
     parser.add_argument("--load_4bit", action="store_true")
+    parser.add_argument("--load_int4", action="store_true")
     parser.add_argument("--cache_dir", type=str, default=None)
     parser.add_argument("--data_cache_dir", type=str, default=None)
     parser.add_argument("--out_name", type=str, default=None)

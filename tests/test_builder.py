@@ -226,3 +226,24 @@ def test_lora_branch(ckpt_dir, tmp_path):
     p_lora = np.asarray(model_lora.params["projector"]["layers"][0]["kernel"])
     p_base = np.asarray(model_base.params["projector"]["layers"][0]["kernel"])
     assert np.abs(p_lora - p_base).max() > 1e-4
+
+
+def test_load_int4_quantizes_decoder(ckpt_dir):
+    from teochat_tpu import builder as builder_mod
+
+    orig = _patch_tiny_vision(None)
+    try:
+        _, model, _, _ = load_pretrained_model(
+            ckpt_dir, None, "TEOChat-tiny", load_int4=True
+        )
+    finally:
+        builder_mod.load_config = orig
+    import jax.numpy as jnp
+
+    q = model.params["llm"]["layers"]["attn"]["q"]
+    assert "packed" in q and q["packed"].dtype == jnp.uint8
+    # int4 model still generates
+    out = model.generate(
+        [[1, 5, 9]], None,
+    )
+    assert len(out[0]) >= 0
