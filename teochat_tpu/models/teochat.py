@@ -75,19 +75,22 @@ def multimodal_embeds(
     return fusion_mod.fuse(text_emb, vision_tokens, plan)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "remat"))
 def forward_train(
     params: Params, cfg: TEOChatConfig, plan: fusion_mod.FusionPlan,
-    pixel_values: jnp.ndarray,
+    pixel_values: jnp.ndarray, remat: bool = False,
 ) -> jnp.ndarray:
     """Training forward: returns mean next-token cross-entropy over valid labels
-    (the reference delegates this to HF's shifted CE, llava_llama.py:56-99)."""
+    (the reference delegates this to HF's shifted CE, llava_llama.py:56-99).
+    `remat` rematerializes decoder layers in the backward pass (the HF
+    gradient-checkpointing equivalent, reference train.py:977-988)."""
     vision_tokens = encode_frames(params, cfg, pixel_values)
     embeds = multimodal_embeds(params, cfg, plan, vision_tokens)
     logits, _ = llama_mod.llama_forward(
         params["llm"], cfg.llm, embeds,
         position_ids=plan.position_ids, attention_mask=plan.attention_mask,
         right_padded=True,  # fusion plans are right-padded; enables flash vjp
+        remat=remat,
     )
     shift_logits = logits[:, :-1]
     shift_labels = plan.labels[:, 1:]

@@ -195,24 +195,40 @@ def train(
     start_step = 0
     if resume is not None:
         rank0_print(f"Resuming from {resume}")
-        opt_template = jax.eval_shape(optimizer.init, params)
+        from teochat_tpu.train.trainer import partition_params
+
+        if trainable_filter is not None:
+            opt_template = jax.eval_shape(
+                lambda p: optimizer.init(partition_params(p, trainable_filter)[0]),
+                params,
+            )
+        else:
+            opt_template = jax.eval_shape(optimizer.init, params)
         params_r, _, opt_state = load_checkpoint(
             resume, restore_opt=True,
             params_template=params, opt_template=opt_template,
         )
         params = params_r
+        if opt_state is None:
+            state = jax.jit(
+                lambda p: init_train_state(p, optimizer, trainable_filter)
+            )(params)
+            opt_state = state.opt_state
         state = TrainState(
             params=params,
-            opt_state=opt_state
-            if opt_state is not None
-            else optimizer.init(params),
+            opt_state=opt_state,
             step=jnp.asarray(int(os.path.basename(resume).split("-")[1])),
         )
         start_step = int(state.step)
     else:
-        state = jax.jit(lambda p: init_train_state(p, optimizer))(params)
+        state = jax.jit(
+            lambda p: init_train_state(p, optimizer, trainable_filter)
+        )(params)
 
-    train_step = make_train_step(cfg, optimizer, trainable_filter=trainable_filter)
+    train_step = make_train_step(
+        cfg, optimizer, trainable_filter=trainable_filter,
+        remat=training_args.gradient_checkpointing,
+    )
 
     writer = None
     if training_args.report_to == "tensorboard":

@@ -27,6 +27,35 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _is_none(x) -> bool:
+    return x is None
+
+
+def partition_params(params: Dict, trainable_filter) -> Tuple[Dict, Dict]:
+    """Split params into (trainable, frozen) pytrees of the same structure,
+    with None at the complementary leaves (equinox partition style).
+
+    This matters beyond ergonomics: gradients are only computed for trainable
+    leaves (int8/int4 quantized backbone weights are not differentiable) and
+    optimizer moments are only allocated for them (full-7B Adam moments would
+    be ~54 GB the k-bit LoRA recipe never needs).
+    """
+    from teochat_tpu.parallel.sharding import _path_str
+
+    mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: bool(trainable_filter(_path_str(path))), params
+    )
+    trainable = jax.tree.map(lambda m, p: p if m else None, mask, params)
+    frozen = jax.tree.map(lambda m, p: None if m else p, mask, params)
+    return trainable, frozen
+
+
+def combine_params(trainable: Dict, frozen: Dict) -> Dict:
+    return jax.tree.map(
+        lambda a, b: b if a is None else a, trainable, frozen, is_leaf=_is_none
+    )
+
+
 def make_optimizer(
     learning_rate: float = 2e-4,
     *,
@@ -64,10 +93,18 @@ def make_optimizer(
 
 
 def init_train_state(
-    params: Dict, optimizer: optax.GradientTransformation
+    params: Dict,
+    optimizer: optax.GradientTransformation,
+    trainable_filter: Optional[Callable[[str], bool]] = None,
 ) -> TrainState:
-    """Call under jit with sharded params so moments inherit param shardings."""
-    opt_state = optimizer.init(params)
+    """Call under jit with sharded params so moments inherit param shardings.
+
+    With a trainable_filter, optimizer state covers only the trainable subtree."""
+    if trainable_filter is None:
+        opt_state = optimizer.init(params)
+    else:
+        trainable, _ = partition_params(params, trainable_filter)
+        opt_state = optimizer.init(trainable)
     return TrainState(params=params, opt_state=opt_state, step=jnp.asarray(0))
 
 
@@ -76,33 +113,45 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     *,
     trainable_filter: Optional[Callable[[str], bool]] = None,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
-    trainable_filter(path)->bool freezes params (grads zeroed) — the reference
-    freezes the tower always and the LLM backbone under LoRA
-    (train.py:974-1006). Full-param path when None.
+    trainable_filter(path)->bool freezes params — the reference freezes the
+    tower always and the LLM backbone under LoRA (train.py:974-1006).
+    Gradients flow ONLY to trainable leaves (the int8/int4 k-bit backbone is
+    not differentiable) and the optimizer update runs on that subtree.
+    `remat` rematerializes decoder layers (HF gradient-checkpointing stand-in).
     """
-
-    def loss_fn(params, plan, pixel_values):
-        return teochat_mod.forward_train(params, cfg, plan, pixel_values)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(
         state: TrainState, plan: fusion_mod.FusionPlan, pixel_values: jnp.ndarray
     ) -> Tuple[TrainState, jnp.ndarray]:
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, plan, pixel_values)
-        if trainable_filter is not None:
-            from teochat_tpu.parallel.sharding import _path_str
+        if trainable_filter is None:
+            def loss_fn(params):
+                return teochat_mod.forward_train(
+                    params, cfg, plan, pixel_values, remat=remat
+                )
 
-            grads = jax.tree_util.tree_map_with_path(
-                lambda path, g: g
-                if trainable_filter(_path_str(path))
-                else jnp.zeros_like(g),
-                grads,
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
             )
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+            params = optax.apply_updates(state.params, updates)
+        else:
+            trainable, frozen = partition_params(state.params, trainable_filter)
+
+            def loss_fn(trainable):
+                params = combine_params(trainable, frozen)
+                return teochat_mod.forward_train(
+                    params, cfg, plan, pixel_values, remat=remat
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, opt_state = optimizer.update(grads, state.opt_state, trainable)
+            new_trainable = optax.apply_updates(trainable, updates)
+            params = combine_params(new_trainable, frozen)
         return TrainState(params, opt_state, state.step + 1), loss
 
     return train_step

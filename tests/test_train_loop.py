@@ -79,3 +79,42 @@ def test_auto_resume(setup, tmp_path):
     state = train(ma, da, ta, cfg=cfg, params=params, tokenizer=tok,
                   dataset=data, max_steps_override=4)
     assert int(state.step) == 4
+
+
+def test_kbit_lora_training_over_int8_backbone(setup, tmp_path):
+    """Reference --bits 8 + LoRA recipe: int8 frozen backbone, LoRA grads flow."""
+    import jax.numpy as jnp
+
+    from teochat_tpu.ops.quant import quantize_llama_params
+    from teochat_tpu.train.lora import add_lora_params
+
+    cfg, params, tok, data = setup
+    qparams = dict(params)
+    qparams["llm"] = add_lora_params(
+        jax.random.PRNGKey(5), quantize_llama_params(params["llm"]), rank=4
+    )
+    ma, da, ta = _args(tmp_path / "kbit", lora_enable=False)  # LoRA already added
+    from teochat_tpu.train.lora import lora_trainable_filter
+    from teochat_tpu.train.trainer import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from teochat_tpu.models.fusion import build_fusion_plan
+    from teochat_tpu.data.dataset import LazySupervisedDataset, TEOChatCollator, DataArguments
+
+    optimizer = make_optimizer(1e-3, total_steps=10)
+    state = init_train_state(qparams, optimizer, lora_trainable_filter)
+    step_fn = make_train_step(cfg, optimizer, trainable_filter=lora_trainable_filter)
+
+    ds = LazySupervisedDataset(tok, DataArguments(image_processor=TinyProcessor()), dataset=data)
+    collator = TEOChatCollator(tok, tokens_per_frame=cfg.vision.num_patches,
+                               seq_buckets=(64, 128))
+    plan, pixels = collator([ds[0], ds[1]])
+    # step 0 is inside warmup (lr=0); take a few steps so updates land
+    for _ in range(3):
+        state, loss = step_fn(state, plan, jnp.asarray(pixels, jnp.float32))
+    assert np.isfinite(float(loss))
+    # int8 kernel untouched; LoRA B moved
+    assert state.params["llm"]["layers"]["attn"]["q"]["kernel"].dtype.name == "int8"
+    assert np.abs(np.asarray(state.params["llm"]["layers"]["attn"]["q"]["lora_b"])).max() > 0
