@@ -124,36 +124,62 @@ def random_int8_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
 
 
 def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """[in, out] fp -> {'packed': uint8 [in/2, out], 'scale': fp32 [out],
-    }. Symmetric, range [-8, 7] mapped via offset-8 nibbles; detection is by
-    the 'packed' key."""
+    """[in, out] fp -> {'packed': uint8 [in/2, out], 'scale': fp32 [out]}.
+
+    Split-halves packing (ops/int4_matmul.py): low nibble = rows [0, in/2),
+    high nibble = rows [in/2, in), value+8. Detection is by the 'packed' key."""
+    from teochat_tpu.ops.int4_matmul import pack_int4
+
     k32 = jnp.asarray(kernel, jnp.float32)
     fan_in = k32.shape[-2]
     assert fan_in % 2 == 0, "int4 packing needs even fan-in"
     amax = jnp.max(jnp.abs(k32), axis=-2)
     scale = jnp.where(amax == 0, 1.0, amax / 7.0)
-    q = jnp.clip(jnp.round(k32 / scale[..., None, :]), -8, 7).astype(jnp.int32) + 8
-    lo = q[..., 0::2, :]
-    hi = q[..., 1::2, :]
-    packed = (lo | (hi << 4)).astype(jnp.uint8)
-    return {"packed": packed, "scale": scale}
+    q = jnp.clip(jnp.round(k32 / scale[..., None, :]), -8, 7).astype(jnp.int32)
+    return {"packed": pack_int4(q), "scale": scale}
 
 
 def unpack_int4(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """uint8 [..., in/2, out] -> [..., in, out] centered int4 values."""
-    lo = (packed & 0xF).astype(jnp.int8) - 8
-    hi = (packed >> 4).astype(jnp.int8) - 8
-    # interleave back along fan-in: even rows lo, odd rows hi
-    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
-    shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
-    return stacked.reshape(shape).astype(dtype)
+    from teochat_tpu.ops.int4_matmul import unpack_int4_halves
+
+    return unpack_int4_halves(packed, dtype)
 
 
 def int4_proj(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """y = (x @ unpack(W_i4)) * scale; XLA fuses the unpack into the read."""
-    w = unpack_int4(p["packed"], x.dtype)
+    """y = (x @ unpack(W_i4)) * scale.
+
+    On TPU routes to the Pallas fused dequant-matmul (reads only packed bytes
+    from HBM); elsewhere falls back to an XLA unpack (tests/CPU)."""
+    packed, scale = p["packed"], p["scale"]
+    k2, n = packed.shape[-2], packed.shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and packed.ndim == 2
+        and n % 128 == 0
+        and k2 % 128 == 0
+    ):
+        from teochat_tpu.ops.int4_matmul import int4_matmul
+
+        # block sizes must DIVIDE the dims (a padded reduction block would
+        # pollute the accumulator) and the working set must fit VMEM: x lo/hi
+        # blocks (4*m*bk2 B bf16) + packed (bk2*bn) + unpacked lo/hi
+        # (4*bk2*bn) + fp32 acc (4*m*bn).
+        m_pad = max(8, ((x.size // (2 * k2) + 7) // 8) * 8)
+        bn = next(b for b in (512, 256, 128) if n % b == 0)
+
+        def vmem(bk2):
+            return 4 * m_pad * bk2 + 5 * bk2 * bn + 6 * m_pad * bn
+
+        budget = 8 * 1024 * 1024
+        candidates = [k2] + [b for b in (2048, 1024, 512, 256, 128) if k2 % b == 0]
+        bk2 = next((b for b in candidates if vmem(b) <= budget), 128)
+        lead = x.shape[:-1]
+        y = int4_matmul(x.reshape(-1, 2 * k2), packed, scale, block_n=bn, block_k2=bk2)
+        return y.reshape(*lead, n)
+    w = unpack_int4(packed, x.dtype)
     y = jnp.einsum("...d,df->...f", x, w, preferred_element_type=jnp.float32)
-    return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
 
 
 def quantize_llama_params_int4(params: Dict, quantize_lm_head: bool = True) -> Dict:

@@ -1,0 +1,39 @@
+"""Pallas int4 fused dequant-matmul: kernel math vs XLA unpack (interpreter)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.ops.int4_matmul import int4_matmul, pack_int4, unpack_int4_halves
+
+
+def _case(m, k, n, seed):
+    rs = np.random.RandomState(seed)
+    w_q = jnp.asarray(rs.randint(-8, 8, (k, n)), jnp.int32)
+    packed = pack_int4(w_q)
+    scale = jnp.asarray(rs.rand(n).astype(np.float32) * 0.1 + 0.01)
+    x = jnp.asarray(rs.randn(m, k), jnp.float32)
+    return x, w_q, packed, scale
+
+
+def test_pack_unpack_roundtrip():
+    _, w_q, packed, _ = _case(1, 16, 128, 0)
+    w2 = unpack_int4_halves(packed, jnp.int32)
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(w_q))
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 128), (13, 256, 384)])
+def test_int4_matmul_matches_reference(m, k, n):
+    x, w_q, packed, scale = _case(m, k, n, 1)
+    ref = (x @ w_q.astype(jnp.float32)) * scale[None, :]
+    got = int4_matmul(x, packed, scale, block_n=128, block_k2=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-4)
+
+
+def test_int4_matmul_multiblock_k():
+    x, w_q, packed, scale = _case(4, 1024, 256, 2)
+    ref = (x @ w_q.astype(jnp.float32)) * scale[None, :]
+    got = int4_matmul(x, packed, scale, block_n=128, block_k2=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-4)
