@@ -24,18 +24,14 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
 from teochat_tpu.config import (
-    LlamaConfig,
     ProjectorConfig,
     TEOChatConfig,
     VisionConfig,
     llama_config_from_hf,
-    vision_config_from_hf,
 )
 from teochat_tpu.checkpoint import convert_hf
 from teochat_tpu.data.processing import ImageProcessor

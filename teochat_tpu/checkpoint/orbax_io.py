@@ -9,7 +9,6 @@ the reference's checkpoint-* auto-resume glob (train.py:1109-1112).
 
 from __future__ import annotations
 
-import json
 import os
 import re
 from typing import Any, Dict, Optional, Tuple

@@ -10,8 +10,7 @@ egress; `upload_weights` raises with instructions.
 
 from __future__ import annotations
 
-import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

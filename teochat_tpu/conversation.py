@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from enum import Enum, auto
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 
 class SeparatorStyle(Enum):

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import copy
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -35,7 +35,7 @@ from teochat_tpu.constants import (
     MAX_VIDEO_LENGTH,
 )
 from teochat_tpu.mm_utils import tokenizer_image_token
-from teochat_tpu.models.fusion import FusionPlan, build_fusion_plan
+from teochat_tpu.models.fusion import build_fusion_plan
 from teochat_tpu.utils import order_pick_k
 
 default_conversation = conversation_lib.conv_templates["v1"]

@@ -11,9 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Any, Callable, Iterable, Iterator, List, Optional, Sequence
-
-import numpy as np
+from typing import Any, Callable, Iterable, Iterator, List, Optional
 
 
 class PrefetchLoader:

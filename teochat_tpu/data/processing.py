@@ -12,7 +12,7 @@ in ops/preprocess.py for the high-throughput path.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Union
+from typing import Dict, Sequence
 
 import numpy as np
 from PIL import Image

@@ -14,7 +14,7 @@ Rebuilds the LanguageBind modality pipelines the reference vendors:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import string
 from collections import Counter
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 
 def get_string_cleaner(ignore_casing: bool, ignore_punctuation: bool) -> Callable[[str], str]:

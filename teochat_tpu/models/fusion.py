@@ -21,7 +21,7 @@ flattened `images` list contract (train.py:880-894).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -15,7 +15,6 @@ by videollava/model/language_model/llava_llama.py:33-99):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -11,7 +11,7 @@ answer to the reference's ragged fusion, SURVEY §7 hard-parts).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from teochat_tpu.config import GenerationConfig, TEOChatConfig
-from teochat_tpu.constants import VISION_PATCH_TOKENS
 from teochat_tpu.models import fusion as fusion_mod
 from teochat_tpu.models import generation as gen_mod
 from teochat_tpu.models import llama as llama_mod

@@ -9,7 +9,6 @@ is tested against.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -24,8 +24,6 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-import numpy as np
-
 
 def quantize_kernel(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """[..., in, out] fp -> {'kernel': int8, 'scale': fp32 [..., out]}."""

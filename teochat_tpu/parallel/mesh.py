@@ -9,7 +9,7 @@ annotations in parallel/sharding.py — no hand-written communication layer.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -18,7 +18,7 @@ falls out of pjit with no offload machinery.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

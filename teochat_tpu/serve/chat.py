@@ -18,7 +18,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from teochat_tpu.eval.inference import extract_bboxes, run_inference_single
+from teochat_tpu.eval.inference import extract_bboxes
 
 SYSTEM_PREFIX = (
     "This a sequence of satellite images taken of the same location at different "
@@ -111,12 +111,10 @@ class Chat:
         """One chat turn. Returns {'response', 'bboxes'}; first turn prepends
         the temporal system prefix + <video> (reference :516-521); later turns
         carry the full conversation history into the prompt."""
-        import jax
-
         from teochat_tpu.config import GenerationConfig
         from teochat_tpu.constants import IMAGE_TOKEN_INDEX
         from teochat_tpu.conversation import SeparatorStyle, conv_templates
-        from teochat_tpu.eval.inference import _build_prompt, replace_video_token
+        from teochat_tpu.eval.inference import replace_video_token
         from teochat_tpu.mm_utils import tokenizer_image_token
 
         if bbox is not None:

@@ -9,7 +9,6 @@ The reference launches `deepspeed videollava/train/train.py --bits 8
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from teochat_tpu.config import MeshConfig
 from teochat_tpu.data.dataset import DataArguments

@@ -13,7 +13,7 @@ equivalent for deployment.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
