@@ -162,15 +162,7 @@ class Chat:
 
 
 def build_demo(*args, **kwargs):
-    """Gradio app shell — optional dependency."""
-    try:
-        import gradio  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "the web demo requires gradio; install it or drive serve.chat.Chat "
-            "programmatically (same capabilities, no UI)"
-        ) from e
-    raise NotImplementedError(
-        "gradio demo shell pending; Chat + mask2bbox + draw_bboxes provide the "
-        "serving capabilities"
-    )
+    """Gradio app shell — see serve/demo.py (optional gradio dependency)."""
+    from teochat_tpu.serve.demo import build_demo as _build
+
+    return _build(*args, **kwargs)
