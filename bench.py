@@ -71,7 +71,7 @@ def phase_encode():
     vp = vit_mod.init_vit(jax.random.PRNGKey(0), cfg.vision, dtype=jnp.bfloat16)
     pp = init_projector(jax.random.PRNGKey(1), cfg.projector, dtype=jnp.bfloat16)
     params = {"vision": vp, "projector": pp}
-    enc_batch = 16
+    enc_batch = 32  # measured sweet spot on v5e (16: ~600 f/s, 32: ~625 f/s)
     frames = jnp.asarray(
         np.random.RandomState(0).randn(enc_batch, 3, 224, 224), jnp.bfloat16
     )
@@ -84,7 +84,7 @@ def phase_encode():
         float(jnp.sum(out[0]))
 
     dt = _timeit(fn, iters=20, sync=sync)
-    return {"encode_s_per_batch16": dt, "encode_frames_per_sec": enc_batch / dt}
+    return {"encode_s_per_batch": dt, "encode_frames_per_sec": enc_batch / dt}
 
 
 def _build_decode_setup(batch: int = 1, quant: str = "int8"):
