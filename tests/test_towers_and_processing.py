@@ -95,3 +95,24 @@ def test_device_preprocess_matches_host_closely():
     # different resampling pipelines; require close agreement, not equality
     diff = np.abs(dev - host).mean()
     assert diff < 0.2, diff
+
+
+def test_video_processor_decodes_file(tmp_path):
+    """cv2 round trip: write an mp4, decode + subsample through VideoProcessor."""
+    cv2 = pytest.importorskip("cv2")
+
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 5, (32, 32))
+    if not w.isOpened():
+        pytest.skip("cv2 mp4 writer unavailable in this build")
+    for i in range(12):
+        frame = np.full((32, 32, 3), i * 20, np.uint8)
+        w.write(frame)
+    w.release()
+
+    vp = VideoProcessor(num_frames=4, size=28)
+    out = vp.preprocess(path)["pixel_values"]
+    assert out.shape == (1, 4, 3, 28, 28)
+    # frames must be temporally ordered (brightness increases)
+    means = out[0].mean(axis=(1, 2, 3))
+    assert (np.diff(means) > 0).all()
