@@ -47,3 +47,49 @@ def test_generation_runs_to_max_when_no_stop():
         stop_spec=spec,
     )[0]
     assert len(out) == 7  # must not stop early
+
+
+def test_make_stop_spec_right_alignment():
+    import types
+
+    class Tok:
+        bos_token_id = 1
+
+        def __call__(self, t):
+            ids = {"</s>": [1, 2], "###": [1, 7, 8, 9]}[t]
+            return types.SimpleNamespace(input_ids=ids)
+
+    spec = gen_mod.make_stop_spec(["</s>", "###"], Tok(), eos_id=2)
+    # BOS stripped; right-aligned in a [K, M] matrix with M = longest keyword
+    assert spec.keyword_ids.shape == (2, 3)
+    assert spec.keyword_lens.tolist() == [1, 3]
+    assert spec.keyword_ids[0].tolist() == [0, 0, 2]
+    assert spec.keyword_ids[1].tolist() == [7, 8, 9]
+
+
+def test_remat_matches_no_remat_gradients():
+    """Gradient checkpointing must not change loss or gradients."""
+    import jax.numpy as jnp
+
+    from teochat_tpu.models import teochat as teochat_mod
+    from teochat_tpu.models.fusion import build_fusion_plan
+
+    cfg = tiny_test_config()
+    params = init_teochat(jax.random.PRNGKey(2), cfg)
+    ids = [[1, 5, -200, 9, 7, 2]]
+    labels = [[-100, -100, -100, -100, 7, 2]]
+    plan = build_fusion_plan(ids, labels=labels,
+                             tokens_per_frame=cfg.vision.num_patches, pad_to=16)
+    pixels = jnp.asarray(
+        np.random.RandomState(0).randn(1, 3, 28, 28), jnp.float32
+    )
+
+    def loss(params, remat):
+        return teochat_mod.forward_train(params, cfg, plan, pixels, remat=remat)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    leaves0, leaves1 = jax.tree.leaves(g0), jax.tree.leaves(g1)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
