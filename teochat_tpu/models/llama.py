@@ -71,7 +71,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _proj(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    if "packed" in p:  # int4 weight-only path (ops/quant.py w4a16)
+    if "packed" in p or "packed_tiles" in p:  # int4 w4a16 (ops/quant.py)
         from teochat_tpu.ops.quant import int4_proj
 
         y = int4_proj(x, p)
@@ -265,17 +265,17 @@ def llama_forward(
             preferred_element_type=jnp.float32,
         )
     else:
-        if "packed" in head:  # int4 weight-only lm_head
-            from teochat_tpu.ops.quant import unpack_int4
+        if "packed" in head or "packed_tiles" in head:  # int4 lm_head
+            from teochat_tpu.ops.quant import int4_proj
 
-            kernel = unpack_int4(head["packed"], x.dtype)
+            logits = int4_proj(x, head).astype(jnp.float32)
         else:
-            kernel = head["kernel"].astype(x.dtype)
-        logits = jnp.einsum(
-            "bsd,dv->bsv", x, kernel, preferred_element_type=jnp.float32,
-        )
-        if "scale" in head:  # int8/int4 weight-only lm_head
-            logits = logits * head["scale"].astype(jnp.float32)
+            logits = jnp.einsum(
+                "bsd,dv->bsv", x, head["kernel"].astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if "scale" in head:  # int8 weight-only lm_head
+                logits = logits * head["scale"].astype(jnp.float32)
     return logits.astype(jnp.float32), new_cache
 
 

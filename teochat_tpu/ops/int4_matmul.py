@@ -120,3 +120,105 @@ def int4_matmul(
         interpret=interpret,
     )(x, x, packed, scale.reshape(1, n))
     return out[:m]
+
+
+# ------------------------------------------------------------- tiled layout
+#
+# The flat [K/2, N] layout makes each (bk2, bn) block a strided HBM read (rows
+# of bn bytes at stride N). The tiled layout stores each bn-wide column band
+# contiguously — packed_tiles [N/bn, K/2, bn] — so a grid cell's DMA is one
+# dense region and streams at full HBM rate.
+
+TILE_BN = 512
+
+
+def pack_int4_tiled(w_q: jnp.ndarray, bn: int = TILE_BN) -> jnp.ndarray:
+    """[K, N] int4 values -> [ceil(N/bn), K/2, bn] uint8 (N zero-padded)."""
+    packed = pack_int4(w_q)  # [K/2, N]
+    k2, n = packed.shape
+    n_pad = ((n + bn - 1) // bn) * bn
+    if n_pad != n:
+        packed = jnp.pad(packed, ((0, 0), (0, n_pad - n)))
+    return packed.reshape(k2, n_pad // bn, bn).transpose(1, 0, 2)
+
+
+def _int4_tiled_kernel(x_lo_ref, x_hi_ref, packed_ref, scale_ref, o_ref,
+                       acc_ref, *, n_k: int):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Nibbles store value+8. Instead of subtracting 8 per element (VPU-bound),
+    # dot with the raw nibbles and correct per output row:
+    #   x @ (W + 8) - 8 * rowsum(x)  ==  x @ W
+    p = packed_ref[0].astype(jnp.int32)  # [bk2, bn]
+    lo = (p & 0xF).astype(x_lo_ref.dtype)
+    hi = (p >> 4).astype(x_lo_ref.dtype)
+    x_lo = x_lo_ref[...]
+    x_hi = x_hi_ref[...]
+    acc_ref[...] += jax.lax.dot(x_lo, lo, preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot(x_hi, hi, preferred_element_type=jnp.float32)
+    corr = 8.0 * (
+        jnp.sum(x_lo.astype(jnp.float32), axis=1)
+        + jnp.sum(x_hi.astype(jnp.float32), axis=1)
+    )  # [m_pad]
+    acc_ref[...] -= corr[:, None]
+
+    @pl.when(k_idx == n_k - 1)
+    def _store():
+        o_ref[0] = (acc_ref[...] * scale_ref[0, 0].astype(jnp.float32)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "block_k2", "interpret"))
+def int4_matmul_tiled(
+    x: jnp.ndarray,  # [M, K]
+    packed_tiles: jnp.ndarray,  # [n_tiles, K/2, bn]
+    scale: jnp.ndarray,  # [n_tiles * bn] f32 (padded)
+    *,
+    n_out: int,
+    block_k2: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y[:, :n_out] = (x @ unpack(packed)) * scale with dense per-tile reads."""
+    m, k = x.shape
+    n_tiles, k2, bn = packed_tiles.shape
+    assert k == 2 * k2
+
+    m_pad = max(8, ((m + 7) // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    bk2 = min(block_k2, k2)
+    n_k = pl.cdiv(k2, bk2)
+    k2_blocks = k2 // bk2
+
+    out = pl.pallas_call(
+        functools.partial(_int4_tiled_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, m_pad, bn), x.dtype),
+        grid=(n_tiles, n_k),
+        in_specs=[
+            pl.BlockSpec((m_pad, bk2), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((m_pad, bk2), lambda ni, ki, _o=k2_blocks: (0, ki + _o)),
+            pl.BlockSpec((1, bk2, bn), lambda ni, ki: (ni, ki, 0)),
+            # scale as [n_tiles, 1, bn]: the (1, bn) trailing block dims are
+            # (equal-to-array, 128-divisible), satisfying the tiling rule
+            pl.BlockSpec((1, 1, bn), lambda ni, ki: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, bn), lambda ni, ki: (ni, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n_tiles * bn,
+            bytes_accessed=n_tiles * k2 * bn + m_pad * k * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, packed_tiles, scale.reshape(n_tiles, 1, bn))
+    # [n_tiles, m_pad, bn] -> [m_pad, n_tiles*bn] -> slice
+    y = out.transpose(1, 0, 2).reshape(m_pad, n_tiles * bn)
+    return y[:m, :n_out]

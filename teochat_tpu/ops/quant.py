@@ -50,6 +50,32 @@ def quantized_proj(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
 
 
+def _int4_proj_tiled(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    from teochat_tpu.ops.int4_matmul import int4_matmul_tiled, unpack_int4_halves
+
+    tiles, scale = p["packed_tiles"], p["scale"]
+    n_tiles, k2, bn = tiles.shape[-3:]
+    n = n_tiles * bn
+    if jax.default_backend() == "tpu" and tiles.ndim == 3:
+        m_pad = max(8, ((x.size // (2 * k2) + 7) // 8) * 8)
+
+        def vmem(bk2):
+            return 4 * m_pad * bk2 + 5 * bk2 * bn + 6 * m_pad * bn
+
+        candidates = [k2] + [b for b in (2048, 1024, 512, 256, 128) if k2 % b == 0]
+        bk2 = next((b for b in candidates if vmem(b) <= 8 * 1024 * 1024), 128)
+        lead = x.shape[:-1]
+        y = int4_matmul_tiled(
+            x.reshape(-1, 2 * k2), tiles, scale, n_out=n, block_k2=bk2
+        )
+        return y.reshape(*lead, n)
+    # reference path: un-tile -> unpack -> matmul
+    flat = jnp.moveaxis(tiles, -3, -2).reshape(*tiles.shape[:-3], k2, n)
+    w = unpack_int4_halves(flat, x.dtype)
+    y = jnp.einsum("...d,df->...f", x, w, preferred_element_type=jnp.float32)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
 _QUANT_TARGETS = ("attn", "mlp")  # groups inside llm/layers whose kernels quantize
 
 
@@ -121,12 +147,18 @@ def random_int8_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
 # This is a TPU-native w4a16 path, not bitsandbytes nf4 (no lookup table).
 
 
-def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """[in, out] fp -> {'packed': uint8 [in/2, out], 'scale': fp32 [out]}.
+INT4_TILE_BN = 256  # divides every production projection width
 
-    Split-halves packing (ops/int4_matmul.py): low nibble = rows [0, in/2),
-    high nibble = rows [in/2, in), value+8. Detection is by the 'packed' key."""
-    from teochat_tpu.ops.int4_matmul import pack_int4
+
+def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[in, out] fp -> {'packed_tiles': uint8 [out/bn, in/2, bn], 'scale': [out]}.
+
+    Split-halves nibble packing in the tile-contiguous layout
+    (ops/int4_matmul.py): each bn-wide column band is a dense HBM region so the
+    kernel's per-tile DMA streams at full rate. Detection is by the
+    'packed_tiles' key. Requires out % 256 == 0 (true for all LLaMA shapes);
+    otherwise falls back to the flat 'packed' layout."""
+    from teochat_tpu.ops.int4_matmul import pack_int4, pack_int4_tiled
 
     k32 = jnp.asarray(kernel, jnp.float32)
     fan_in = k32.shape[-2]
@@ -134,7 +166,14 @@ def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     amax = jnp.max(jnp.abs(k32), axis=-2)
     scale = jnp.where(amax == 0, 1.0, amax / 7.0)
     q = jnp.clip(jnp.round(k32 / scale[..., None, :]), -8, 7).astype(jnp.int32)
-    return {"packed": pack_int4(q), "scale": scale}
+    n = q.shape[-1]
+    if n % INT4_TILE_BN:
+        return {"packed": pack_int4(q), "scale": scale}
+    if q.ndim == 2:
+        tiles = pack_int4_tiled(q, INT4_TILE_BN)
+    else:
+        tiles = jax.vmap(lambda w: pack_int4_tiled(w, INT4_TILE_BN))(q)
+    return {"packed_tiles": tiles, "scale": scale}
 
 
 def unpack_int4(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -149,6 +188,8 @@ def int4_proj(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 
     On TPU routes to the Pallas fused dequant-matmul (reads only packed bytes
     from HBM); elsewhere falls back to an XLA unpack (tests/CPU)."""
+    if "packed_tiles" in p:
+        return _int4_proj_tiled(x, p)
     packed, scale = p["packed"], p["scale"]
     k2, n = packed.shape[-2], packed.shape[-1]
     if (
@@ -202,9 +243,12 @@ def random_int4_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
     hkv_d = cfg.num_kv_heads * cfg.head_dim
 
     def qproj(key, fan_in, fan_out):
-        packed = jax.random.randint(key, (L, fan_in // 2, fan_out), 0, 256, jnp.int32)
+        tiles = jax.random.randint(
+            key, (L, fan_out // INT4_TILE_BN, fan_in // 2, INT4_TILE_BN), 0, 256,
+            jnp.int32,
+        )
         return {
-            "packed": packed.astype(jnp.uint8),
+            "packed_tiles": tiles.astype(jnp.uint8),
             "scale": jnp.full((L, fan_out), 0.02 / 7, jnp.float32),
         }
 
@@ -231,8 +275,9 @@ def random_int4_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
         },
         "final_norm": {"scale": jnp.ones((d,), jnp.float32)},
         "lm_head": {
-            "packed": jax.random.randint(
-                next(keys), (d // 2, cfg.vocab_size), 0, 256, jnp.int32
+            "packed_tiles": jax.random.randint(
+                next(keys), (cfg.vocab_size // INT4_TILE_BN, d // 2, INT4_TILE_BN),
+                0, 256, jnp.int32,
             ).astype(jnp.uint8),
             "scale": jnp.full((cfg.vocab_size,), 0.02 / 7, jnp.float32),
         },

@@ -37,3 +37,20 @@ def test_int4_matmul_multiblock_k():
     ref = (x @ w_q.astype(jnp.float32)) * scale[None, :]
     got = int4_matmul(x, packed, scale, block_n=128, block_k2=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("m,k,n", [(1, 256, 256), (8, 512, 384), (5, 256, 300)])
+def test_int4_matmul_tiled_matches_reference(m, k, n):
+    from teochat_tpu.ops.int4_matmul import int4_matmul_tiled, pack_int4_tiled
+
+    rs = np.random.RandomState(3)
+    w_q = jnp.asarray(rs.randint(-8, 8, (k, n)), jnp.int32)
+    tiles = pack_int4_tiled(w_q, bn=128)
+    n_pad = tiles.shape[0] * 128
+    scale = jnp.asarray(
+        np.pad(rs.rand(n).astype(np.float32) * 0.1 + 0.01, (0, n_pad - n))
+    )
+    x = jnp.asarray(rs.randn(m, k), jnp.float32)
+    ref = (x @ w_q.astype(jnp.float32)) * scale[None, :n]
+    got = int4_matmul_tiled(x, tiles, scale, n_out=n, block_k2=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-4)
