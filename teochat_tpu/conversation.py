@@ -204,6 +204,30 @@ A conversation between a user and an LLM-based AI assistant. The assistant gives
     sep="<|im_end|>",
 )
 
+conv_llava_v0 = Conversation(
+    system="A chat between a curious human and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the human's questions.",
+    roles=("Human", "Assistant"),
+    messages=[],
+    offset=0,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+)
+
+conv_llava_v0_mmtag = Conversation(
+    system="A chat between a curious user and an artificial intelligence assistant. "
+    "The assistant is able to understand the visual content that the user provides, "
+    "and assist the user with a variety of tasks using natural language."
+    "The visual content will be provided with the following format: "
+    "<Image>visual content</Image>.",
+    roles=("Human", "Assistant"),
+    messages=[],
+    offset=0,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+    version="v0_mmtag",
+)
+
 conv_llava_plain = Conversation(
     system="",
     roles=("", ""),
@@ -242,7 +266,13 @@ conv_llava_v1_mmtag = Conversation(
 
 default_conversation = conv_vicuna_v1
 conv_templates = {
-    "default": conv_vicuna_v1,
+    # NOTE: the reference maps "default"/"v0" to a Vicuna-v0 template seeded
+    # with a long few-shot transcript (conversation.py:210-251) that no active
+    # TEOChat path renders; here they map to the v0-style llava template.
+    "default": conv_llava_v0,
+    "v0": conv_llava_v0,
+    "llava_v0": conv_llava_v0,
+    "v0_mmtag": conv_llava_v0_mmtag,
     "v1": conv_vicuna_v1,
     "vicuna_v1": conv_vicuna_v1,
     "llama_2": conv_llama_2,

@@ -100,3 +100,17 @@ def test_tuple_first_message_parity():
     ours.append_message(ours.roles[1], None)
     ref.append_message(ref.roles[1], None)
     assert ours.get_prompt() == ref.get_prompt()
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference repo not mounted")
+@pytest.mark.parametrize("name", ["llava_v0", "v0_mmtag"])
+def test_v0_family_parity(name):
+    ref_templates = load_ref_module(
+        "videollava/conversation.py", "videollava.conversation"
+    ).conv_templates
+    ours = conv_templates[name].copy()
+    ref = ref_templates[name].copy()
+    for i, text in enumerate(["hi <image>", "hello back", "more?", None]):
+        ours.append_message(ours.roles[i % 2], text)
+        ref.append_message(ref.roles[i % 2], text)
+    assert ours.get_prompt() == ref.get_prompt()
