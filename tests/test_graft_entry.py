@@ -1,5 +1,7 @@
 """Driver-hook integration: dryrun_multichip runs on the virtual 8-device mesh."""
 
+import os
+import subprocess
 import sys
 
 import jax
@@ -13,3 +15,31 @@ def test_dryrun_multichip_8():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_dryrun_multichip_driver_pattern():
+    """Simulate the driver: import the module into a process whose backend has
+    only ONE device, then call dryrun_multichip(8) directly. The function must
+    guarantee its own environment (subprocess re-exec) — MULTICHIP_r01 failed
+    exactly here (rc=1, 'need 8, have 1' on the 1-chip axon platform)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    # strip the conftest's 8-device flag so the parent really has 1 device
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env.pop("_TEOCHAT_DRYRUN_CHILD", None)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax, __graft_entry__;"
+        "assert len(jax.devices()) == 1, jax.devices();"
+        "__graft_entry__.dryrun_multichip(8)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "dryrun_multichip(8)" in proc.stdout
