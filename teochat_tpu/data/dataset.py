@@ -343,8 +343,13 @@ class LazySupervisedDataset:
             out = dict(input_ids=data_dict["input_ids"][0], labels=data_dict["labels"][0])
             if image:
                 out["image"] = image
-            elif self.data_args.is_multimodal:
-                out["image"] = [np.zeros((3, 224, 224), np.float32)]  # dummy frame
+            # Text-only samples contribute NO frames. The reference appends a
+            # dummy zeros image per text-only row (train.py:826-834) because
+            # DeepSpeed hangs if the tower gets no gradient; its fusion then
+            # consumes one image per imageless row (llava_arch.py:263). Under
+            # jit neither hack is needed — the flat frame list contains exactly
+            # the sentinel-consumed frames, so build_fusion_plan's cursor
+            # (advance per sentinel) stays aligned in mixed text+image batches.
             return out
         except Exception as e:  # data-error tolerance (reference :835-837)
             print(f"Error with {e}")

@@ -15,7 +15,11 @@ on the GPU. On TPU that is a recompile storm; here fusion is split into:
    shapes, no per-sample Python, fully fusable by XLA.
 
 Frames are consumed in flat batch order, matching the reference collator's
-flattened `images` list contract (train.py:880-894).
+flattened `images` list contract (train.py:880-894) with one deliberate
+divergence: text-only rows consume NO frame (the reference burns one dummy
+image per imageless row, llava_arch.py:263 — a DeepSpeed gradient-flow hack);
+correspondingly the dataset emits no dummy frames, so mixed text+image batches
+stay frame-aligned end-to-end.
 """
 
 from __future__ import annotations

@@ -75,3 +75,52 @@ def test_text_only_row():
     plan = build_fusion_plan([[1, 2, 3]], tokens_per_frame=4)
     assert int(plan.seq_lens[0]) == 3
     assert not plan.is_vision.any()
+
+
+def test_mixed_text_and_image_rows_fuse_own_frames():
+    """Round-1 confirmed bug (VERDICT 'weak' #2): with a text-only row ahead of
+    an image row, the image row must gather ITS frame, not a dummy. The flat
+    frame list carries only sentinel-consumed frames (no dummies)."""
+    ids = [[1, 2, 3], [4, IMAGE_TOKEN_INDEX, 5]]
+    plan = build_fusion_plan(ids, tokens_per_frame=2, pad_to=6)
+    d = 3
+    text_emb = jnp.asarray(plan.text_ids)[:, :, None] * jnp.ones((1, 1, d))
+    # single real frame, values 100/101 — there is no dummy frame slot
+    vis = (100 + jnp.arange(2, dtype=jnp.float32))[:, None] * jnp.ones((1, d))
+    vis = vis.reshape(1, 2, d)
+    out = np.asarray(fuse(text_emb, vis, plan))
+    np.testing.assert_allclose(out[0, :3, 0], [1, 2, 3])
+    np.testing.assert_allclose(out[1, :4, 0], [4, 100, 101, 5])
+
+
+def test_mixed_batch_through_collator_alignment():
+    """[text, image, text, image] batch through the collator: each image row's
+    vision slots must come from its own (distinctly-valued) frame."""
+    from teochat_tpu.data.dataset import TEOChatCollator
+
+    tpf = 4
+    collator = TEOChatCollator(None, tokens_per_frame=tpf, seq_buckets=(32,),
+                               frame_buckets=(1, 2, 4))
+    frame_a = np.full((3, 8, 8), 7.0, np.float32)
+    frame_b = np.full((3, 8, 8), 9.0, np.float32)
+    instances = [
+        {"input_ids": [1, 2, 3], "labels": [-100, 2, 3]},
+        {"input_ids": [4, IMAGE_TOKEN_INDEX, 5], "labels": [-100, -100, 5],
+         "image": [frame_a]},
+        {"input_ids": [6, 7], "labels": [6, 7]},
+        {"input_ids": [IMAGE_TOKEN_INDEX, 8], "labels": [-100, 8],
+         "image": [frame_b]},
+    ]
+    plan, pixels = collator(instances)
+    assert pixels.shape[0] == 2  # only real frames (bucketed: 2)
+    np.testing.assert_allclose(pixels[0], frame_a)
+    np.testing.assert_allclose(pixels[1], frame_b)
+    # simulate per-frame encodings whose values identify the source frame
+    d = 2
+    vis = np.stack([np.full((tpf, d), pixels[i, 0, 0, 0]) for i in range(2)])
+    text_emb = jnp.asarray(plan.text_ids)[:, :, None] * jnp.ones((1, 1, d))
+    out = np.asarray(fuse(text_emb, jnp.asarray(vis), plan))
+    np.testing.assert_allclose(out[1, 1:1 + tpf, 0], [7.0] * tpf)  # frame_a row
+    np.testing.assert_allclose(out[3, 0:tpf, 0], [9.0] * tpf)  # frame_b row
+    np.testing.assert_allclose(out[0, :3, 0], [1, 2, 3])  # text rows untouched
+    np.testing.assert_allclose(out[2, :2, 0], [6, 7])
