@@ -41,6 +41,23 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r"llm/layers/mlp/(gate|up)/scale$", P(None, "model")),
     (r"llm/layers/mlp/down/scale$", P(None, "fsdp")),
     (r"llm/lm_head/scale$", P("model")),
+    # --- int4 packed weights (ops/quant.py:153-176). Flat 'packed'
+    # [L, in/2, out] mirrors its kernel's spec; tile-contiguous 'packed_tiles'
+    # [L, out/bn, in/2, bn] shards the tile axis along the kernel's OUTPUT
+    # mesh axis (so packed weights + their scales land on the same devices).
+    # NB: multi-chip capacity/TP win applies to the XLA dequant path; the
+    # single-chip Pallas kernel would need a shard_map wrapper to run on
+    # device-local tiles (not needed until real multi-chip hardware).
+    (r"llm/layers/attn/(q|k|v)/packed$", P(None, "fsdp", "model")),
+    (r"llm/layers/attn/out/packed$", P(None, "model", "fsdp")),
+    (r"llm/layers/mlp/(gate|up)/packed$", P(None, "fsdp", "model")),
+    (r"llm/layers/mlp/down/packed$", P(None, "model", "fsdp")),
+    (r"llm/lm_head/packed$", P("fsdp", "model")),
+    (r"llm/layers/attn/(q|k|v)/packed_tiles$", P(None, "model", "fsdp", None)),
+    (r"llm/layers/attn/out/packed_tiles$", P(None, "fsdp", "model", None)),
+    (r"llm/layers/mlp/(gate|up)/packed_tiles$", P(None, "model", "fsdp", None)),
+    (r"llm/layers/mlp/down/packed_tiles$", P(None, "fsdp", "model", None)),
+    (r"llm/lm_head/packed_tiles$", P("model", "fsdp", None)),
     # --- Vision tower (stacked [L, ...]) ---
     (r"vision/layers/(temporal_attn|attn)/(q|k|v)/kernel$", P(None, "fsdp", "model")),
     (r"vision/layers/(temporal_attn|attn)/(q|k|v)/bias$", P(None, "model")),

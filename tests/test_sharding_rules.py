@@ -24,6 +24,80 @@ def test_spec_rules():
     assert spec_for_path("anything/else") == P()
 
 
+def test_spec_rules_int4():
+    # flat packed mirrors the kernel orientation
+    assert spec_for_path("llm/layers/attn/q/packed") == P(None, "fsdp", "model")
+    assert spec_for_path("llm/layers/mlp/down/packed") == P(None, "model", "fsdp")
+    assert spec_for_path("llm/lm_head/packed") == P("fsdp", "model")
+    # tiled layout [L, out/bn, in/2, bn]: tile axis follows the output dim
+    assert spec_for_path("llm/layers/attn/q/packed_tiles") == P(None, "model", "fsdp", None)
+    assert spec_for_path("llm/layers/attn/out/packed_tiles") == P(None, "fsdp", "model", None)
+    assert spec_for_path("llm/layers/mlp/up/packed_tiles") == P(None, "model", "fsdp", None)
+    assert spec_for_path("llm/layers/mlp/down/packed_tiles") == P(None, "fsdp", "model", None)
+    assert spec_for_path("llm/lm_head/packed_tiles") == P("model", "fsdp", None)
+    # int4 scales hit the same rules as int8 scales (same leaf name)
+    assert spec_for_path("llm/layers/attn/q/scale") == P(None, "model")
+    assert spec_for_path("llm/layers/mlp/down/scale") == P(None, "fsdp")
+
+
+def _quantized_forward_equivalence(quantize_fn, cfg_kwargs):
+    """Quantized decoder logits on a (2,2,2) mesh == single-device logits."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from teochat_tpu.config import tiny_test_config
+    from teochat_tpu.models import llama as llama_mod
+
+    cfg = dataclasses.replace(tiny_test_config().llm, **cfg_kwargs)
+    params = llama_mod.init_llama(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_fn(params)
+    b, s = 2, 8
+    embeds = jnp.asarray(
+        np.random.RandomState(0).randn(b, s, cfg.hidden_size), jnp.float32
+    )
+    pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
+    amask = jnp.ones((b, s), bool)
+
+    def fwd(p, e):
+        logits, _ = llama_mod.llama_forward(
+            p, cfg, e, position_ids=pos, attention_mask=amask
+        )
+        return logits
+
+    ref = np.asarray(jax.jit(fwd)(qparams, embeds))
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, model=2))
+    wrapped = shard_params({"llm": qparams}, mesh)["llm"]
+    with jax.set_mesh(mesh):
+        got = np.asarray(jax.jit(fwd)(wrapped, embeds))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_int8_decoder_sharded_matmul_equivalence():
+    from teochat_tpu.ops.quant import quantize_llama_params
+
+    _quantized_forward_equivalence(quantize_llama_params, {})
+
+
+def test_int4_tiled_decoder_sharded_matmul_equivalence():
+    # dims multiples of 256 so quantization takes the tiled ('packed_tiles')
+    # layout and the tile axis actually shards over model=2 (>=2 tiles/proj)
+    from teochat_tpu.ops.quant import quantize_llama_params_int4
+
+    _quantized_forward_equivalence(
+        quantize_llama_params_int4,
+        dict(hidden_size=512, intermediate_size=1024, num_heads=8,
+             num_kv_heads=8, vocab_size=512),
+    )
+
+
+def test_int4_flat_packed_sharded():
+    """Small dims fall back to the flat 'packed' layout; it must still shard."""
+    from teochat_tpu.ops.quant import quantize_llama_params_int4
+
+    _quantized_forward_equivalence(quantize_llama_params_int4, {})
+
+
 def test_param_specs_rank_clipped():
     cfg = tiny_test_config()
     params = init_teochat(jax.random.PRNGKey(0), cfg)
