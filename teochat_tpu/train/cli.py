@@ -37,6 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_train_epochs", type=int, default=1)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--per_device_train_batch_size", type=int, default=4)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--learning_rate", type=float, default=2e-4)
     p.add_argument("--mm_projector_lr", type=float, default=2e-5)
     p.add_argument("--warmup_ratio", type=float, default=0.03)
@@ -88,6 +89,7 @@ def main(argv=None):
         num_train_epochs=args.num_train_epochs,
         max_steps=args.max_steps,
         per_device_train_batch_size=args.per_device_train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
         learning_rate=args.learning_rate,
         mm_projector_lr=args.mm_projector_lr,
         warmup_ratio=args.warmup_ratio,

@@ -70,6 +70,7 @@ class TrainingArguments:
     num_train_epochs: int = 1
     max_steps: Optional[int] = None
     per_device_train_batch_size: int = 4
+    gradient_accumulation_steps: int = 1  # train_teochat.sh:26 uses 8
     learning_rate: float = 2e-4
     mm_projector_lr: Optional[float] = 2e-5
     warmup_ratio: float = 0.03
@@ -90,12 +91,22 @@ class TrainingArguments:
     report_to: str = "tensorboard"
 
 
-def _batches(dataset, collator, sampler: Iterable[int], batch_size: int):
+def _batches(dataset, collator, sampler: Iterable[int], batch_size: int,
+             process_index: int = 0, process_count: int = 1):
+    """Per-host sharded batch stream.
+
+    The sampler emits megabatches pre-split into world_size consecutive
+    per-replica chunks of batch_size (sampler.py:44), so host p owns every
+    chunk with index ≡ p (mod process_count) — the torch DistributedSampler
+    slicing the reference gets from its launcher (llava_trainer.py:135-148)."""
     buf: List[int] = []
+    chunk_i = 0
     for idx in sampler:
         buf.append(idx)
         if len(buf) == batch_size:
-            yield collator([dataset[i] for i in buf])
+            if chunk_i % process_count == process_index:
+                yield collator([dataset[i] for i in buf])
+            chunk_i += 1
             buf = []
 
 
@@ -170,7 +181,11 @@ def train(
     )
     train_dataset, collator = module["train_dataset"], module["data_collator"]
 
-    steps_per_epoch = max(len(train_dataset) // training_args.per_device_train_batch_size, 1)
+    accum = max(training_args.gradient_accumulation_steps, 1)
+    global_batch = (
+        training_args.per_device_train_batch_size * jax.process_count() * accum
+    )
+    steps_per_epoch = max(len(train_dataset) // global_batch, 1)
     total_steps = (
         max_steps_override
         or training_args.max_steps
@@ -184,6 +199,14 @@ def train(
         total_steps=total_steps,
         weight_decay=training_args.weight_decay,
     )
+    if accum > 1:
+        # reference recipe: --gradient_accumulation_steps 8
+        # (train_teochat.sh:26). MultiSteps averages k micro-grads, applies
+        # the inner AdamW once per k calls; the LR schedule advances per
+        # optimizer update, matching HF's global-step semantics.
+        import optax
+
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=accum)
 
     mesh = create_mesh(training_args.mesh) if jax.device_count() > 1 else None
     if mesh is not None:
@@ -247,10 +270,14 @@ def train(
     )
 
     step = start_step
+    micro = 0
     t0 = time.time()
     for epoch in range(training_args.num_train_epochs):
         for plan, pixels in _batches(
-            train_dataset, collator, sampler, training_args.per_device_train_batch_size
+            train_dataset, collator, sampler,
+            training_args.per_device_train_batch_size,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         ):
             if step >= total_steps:
                 break
@@ -258,6 +285,9 @@ def train(
                 pixels, jnp.bfloat16 if training_args.bf16 else jnp.float32
             )
             state, loss = train_step(state, plan, pixels)
+            micro += 1
+            if micro % accum:
+                continue  # grad accumulated; optimizer update not applied yet
             step += 1
             if step % training_args.logging_steps == 0:
                 loss_v = float(loss)

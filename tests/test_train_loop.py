@@ -81,6 +81,96 @@ def test_auto_resume(setup, tmp_path):
     assert int(state.step) == 4
 
 
+def test_gradient_accumulation_matches_big_batch(setup):
+    """accum=4 over four bs=1 micro-batches == one bs=4 step (same rows; rows
+    built with identical valid-label counts so per-micro means average to the
+    big-batch mean). Recipe parity: train_teochat.sh:26."""
+    import optax
+
+    from teochat_tpu.constants import IMAGE_TOKEN_INDEX
+    from teochat_tpu.models.fusion import build_fusion_plan
+    from teochat_tpu.train.trainer import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg, params, tok, data = setup
+    tpf = cfg.vision.num_patches
+    rows = [[1, 3 + r, IMAGE_TOKEN_INDEX, 7, 5 + r, 2] for r in range(4)]
+    labs = [[-100, -100, -100, -100, 5 + r, 2] for r in range(4)]
+    rng = np.random.RandomState(0)
+    frames = rng.randn(4, 3, 28, 28).astype(np.float32)
+
+    def run(accum):
+        base = make_optimizer(1e-2, total_steps=8, warmup_ratio=0.0)
+        opt = optax.MultiSteps(base, every_k_schedule=accum) if accum > 1 else base
+        # copy: train_step donates its state, which would delete the shared
+        # module-scope params fixture's buffers
+        state = init_train_state(jax.tree.map(jnp.copy, params), opt)
+        step_fn = make_train_step(cfg, opt)
+        # two global steps: step 0 sits at warmup lr=0, step 1 actually moves
+        for _ in range(2):
+            if accum == 1:
+                plan = build_fusion_plan(
+                    rows, labels=labs, tokens_per_frame=tpf, pad_to=16
+                )
+                state, _ = step_fn(state, plan, jnp.asarray(frames))
+            else:
+                for r in range(4):
+                    plan = build_fusion_plan(
+                        [rows[r]], labels=[labs[r]], tokens_per_frame=tpf, pad_to=16
+                    )
+                    state, _ = step_fn(state, plan, jnp.asarray(frames[r : r + 1]))
+        return state.params
+
+    p1 = run(1)
+    p4 = run(4)
+    flat1 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(p1)])
+    flat4 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(p4)])
+    # fp32 reduction order differs between bs=4 and 4x bs=1 (then Adam
+    # normalizes tiny grads), so exact equality is impossible; a semantic bug
+    # (sum-vs-mean, dropped micro-batch) diverges at >1e-2 scale
+    np.testing.assert_allclose(np.asarray(flat4), np.asarray(flat1), atol=3e-4)
+    # and the update actually moved params
+    flat0 = jnp.concatenate([x.ravel() for x in jax.tree.leaves(params)])
+    assert np.abs(np.asarray(flat1) - np.asarray(flat0)).max() > 1e-6
+
+
+def test_per_host_batch_sharding_disjoint():
+    """_batches with process_index/count: hosts see disjoint, exhaustive index
+    streams (reference gets this from torch DistributedSampler world slicing,
+    llava_trainer.py:135-148)."""
+    from teochat_tpu.train.train import _batches
+
+    dataset = list(range(16))
+    taken = {}
+    for p in range(2):
+        got = list(
+            _batches(dataset, lambda xs: tuple(xs), iter(range(16)), 4,
+                     process_index=p, process_count=2)
+        )
+        taken[p] = [i for b in got for i in b]
+    assert set(taken[0]) & set(taken[1]) == set()
+    assert sorted(taken[0] + taken[1]) == dataset
+    assert taken[0] == [0, 1, 2, 3, 8, 9, 10, 11]
+
+
+def test_train_driver_with_accumulation(setup, tmp_path):
+    """End-to-end driver run with gradient_accumulation_steps=2: global steps
+    count optimizer updates, not micro-batches."""
+    cfg, params, tok, data = setup
+    ma, da, ta = _args(tmp_path / "accum", lora_enable=True,
+                       per_device_train_batch_size=1,
+                       gradient_accumulation_steps=2)
+    state = train(ma, da, ta, cfg=cfg, params=params, tokenizer=tok,
+                  dataset=data, max_steps_override=2)
+    # 2 global steps x accum 2 = 4 micro-batches ran; TrainState.step counts
+    # micro invocations, the driver's loop counted 2 global steps
+    assert int(state.step) == 4
+    assert np.abs(np.asarray(state.params["llm"]["layers"]["attn"]["q"]["lora_b"])).max() > 0
+
+
 def test_kbit_lora_training_over_int8_backbone(setup, tmp_path):
     """Reference --bits 8 + LoRA recipe: int8 frozen backbone, LoRA grads flow."""
     import jax.numpy as jnp
