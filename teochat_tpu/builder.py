@@ -226,9 +226,6 @@ def load_pretrained_model(
             else quantize_llama_params(llm_jnp)
         )
 
-        def cast(x):
-            return x.astype(dtype) if x.dtype in (jnp.float32, jnp.float64) and x.ndim > 1 else x
-
         params["llm"] = qp
         params["llm"]["embed_tokens"]["embedding"] = jnp.asarray(
             llm_params["embed_tokens"]["embedding"], dtype

@@ -204,6 +204,41 @@ A conversation between a user and an LLM-based AI assistant. The assistant gives
     sep="<|im_end|>",
 )
 
+conv_vicuna_v0 = Conversation(
+    # Byte-parity with reference conversation.py:220-251: the "default"/"v0"
+    # template ships SEEDED with a one-shot transcript (offset=2 hides it from
+    # gradio but get_prompt renders it). No active TEOChat path uses it; kept
+    # for full prompt-layer parity.
+    system="A chat between a curious human and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the human's questions.",
+    roles=("Human", "Assistant"),
+    messages=[
+        ["Human", "What are the key differences between renewable and non-renewable energy sources?"],
+        ["Assistant",
+            "Renewable energy sources are those that can be replenished naturally in a relatively "
+            "short amount of time, such as solar, wind, hydro, geothermal, and biomass. "
+            "Non-renewable energy sources, on the other hand, are finite and will eventually be "
+            "depleted, such as coal, oil, and natural gas. Here are some key differences between "
+            "renewable and non-renewable energy sources:\n"
+            "1. Availability: Renewable energy sources are virtually inexhaustible, while non-renewable "
+            "energy sources are finite and will eventually run out.\n"
+            "2. Environmental impact: Renewable energy sources have a much lower environmental impact "
+            "than non-renewable sources, which can lead to air and water pollution, greenhouse gas emissions, "
+            "and other negative effects.\n"
+            "3. Cost: Renewable energy sources can be more expensive to initially set up, but they typically "
+            "have lower operational costs than non-renewable sources.\n"
+            "4. Reliability: Renewable energy sources are often more reliable and can be used in more remote "
+            "locations than non-renewable sources.\n"
+            "5. Flexibility: Renewable energy sources are often more flexible and can be adapted to different "
+            "situations and needs, while non-renewable sources are more rigid and inflexible.\n"
+            "6. Sustainability: Renewable energy sources are more sustainable over the long term, while "
+            "non-renewable sources are not, and their depletion can lead to economic and social instability.\n"],
+    ],
+    offset=2,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+)
+
 conv_llava_v0 = Conversation(
     system="A chat between a curious human and an artificial intelligence assistant. "
     "The assistant gives helpful, detailed, and polite answers to the human's questions.",
@@ -266,11 +301,8 @@ conv_llava_v1_mmtag = Conversation(
 
 default_conversation = conv_vicuna_v1
 conv_templates = {
-    # NOTE: the reference maps "default"/"v0" to a Vicuna-v0 template seeded
-    # with a long few-shot transcript (conversation.py:210-251) that no active
-    # TEOChat path renders; here they map to the v0-style llava template.
-    "default": conv_llava_v0,
-    "v0": conv_llava_v0,
+    "default": conv_vicuna_v0,
+    "v0": conv_vicuna_v0,
     "llava_v0": conv_llava_v0,
     "v0_mmtag": conv_llava_v0_mmtag,
     "v1": conv_vicuna_v1,

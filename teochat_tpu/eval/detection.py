@@ -119,13 +119,18 @@ def parse_predicted_boxes(pred_string: str) -> List[List[float]]:
 def evaluate_masks(results: Sequence[Dict], dataset: str, height: int = 256,
                    width: int = 256) -> Dict[str, float]:
     """Rasterize GT WKT polygons + predicted [0,100]-normalized boxes into
-    binary masks and accumulate the 2-class confusion matrix."""
+    binary masks and accumulate the 2-class confusion matrix.
+
+    NB: create_mask receives (height, width) — reproducing the reference
+    byte-for-byte (detection.py:185,211 passes (height, width) into PIL's
+    width-first Image.new, a transposition quirk that is a no-op at the
+    default square 256x256 but part of the paper-number contract)."""
     evaluator = Evaluator(num_class=2)
     for result in results:
         if "[" not in result["ground_truth"]:
             gt_mask = np.zeros((height, width), np.uint8)
         else:
-            gt_mask = create_mask(result["polygon"], (width, height))
+            gt_mask = create_mask(result["polygon"], (height, width))
 
         if "[" not in result["response"]:
             pred_mask = np.zeros((height, width), np.uint8)
@@ -136,7 +141,7 @@ def evaluate_masks(results: Sequence[Dict], dataset: str, height: int = 256,
                  b[2] / 100 * width, b[3] / 100 * height]
                 for b in boxes
             ]
-            pred_mask = create_mask(boxes_to_wkt(boxes), (width, height))
+            pred_mask = create_mask(boxes_to_wkt(boxes), (height, width))
 
         evaluator.add_batch(gt_mask, pred_mask)
 
@@ -172,7 +177,9 @@ def change_detection_classification(
 
         pred_msk = np.zeros((height, width), np.uint8)
         gt_msk = np.zeros((height, width), np.uint8)
-        _msk = create_mask(output["polygon"], (width, height))
+        # (height, width) matches the reference's transposition quirk
+        # (reference detection.py:236 im_size=(height, width))
+        _msk = create_mask(output["polygon"], (height, width))
 
         if ground_truth_class in skip_classes:
             continue

@@ -103,6 +103,25 @@ def test_tuple_first_message_parity():
 
 
 @pytest.mark.skipif(not HAS_REFERENCE, reason="reference repo not mounted")
+@pytest.mark.parametrize("name", ["default", "v0"])
+def test_seeded_v0_byte_parity(name):
+    """'default'/'v0' map to conv_vicuna_v0, which ships SEEDED with a one-shot
+    transcript (reference conversation.py:220-251) — prompts must match byte
+    for byte including the transcript and offset=2."""
+    ref_templates = load_ref_module(
+        "videollava/conversation.py", "videollava.conversation"
+    ).conv_templates
+    ours = conv_templates[name].copy()
+    ref = ref_templates[name].copy()
+    assert ours.offset == ref.offset == 2
+    assert ours.get_prompt() == ref.get_prompt()  # seeded transcript alone
+    for i, text in enumerate(["hi <image>", "hello back", "more?", None]):
+        ours.append_message(ours.roles[i % 2], text)
+        ref.append_message(ref.roles[i % 2], text)
+    assert ours.get_prompt() == ref.get_prompt()
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference repo not mounted")
 @pytest.mark.parametrize("name", ["llava_v0", "v0_mmtag"])
 def test_v0_family_parity(name):
     ref_templates = load_ref_module(
