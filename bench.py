@@ -17,11 +17,14 @@ fake results. vs_baseline divides by an A100 reference point of 20 decode
 tokens/sec for 7B LLM.int8 (bitsandbytes) inference — the reference's serving
 configuration; TEOChat publishes no latency numbers (BASELINE.md).
 
-Roofline note (measured on this chip): a full 6.88 GB int8 weight sweep
-achieves 532 GB/s; the bs=1 decode step moves the same bytes at ~563 GB/s
-effective, i.e. single-stream decode is AT the achievable HBM bandwidth —
-further bs=1 gains require smaller weights (int4) not better kernels. bs=8
-amortizes each weight read across rows (~4.4x aggregate throughput).
+Roofline note (measured on this chip, round 2): the decode step moves
+weights (6.6 GB int8) + KV cache (0.37 GB/row-group) at ~650-660 GB/s
+effective (~80% of v5e HBM spec). Round 1 was ~20-45% below this because the
+layer scan re-stacked (copied) both full KV-cache buffers every step; the
+fori-loop/in-place-scatter cache (models/llama.py) removed that. Single-stream
+decode is bandwidth-bound — further bs=1 gains require smaller weights (int4)
+or a smaller cache (int8 KV), not better kernels. Batched decode amortizes
+each weight read across rows; KV bytes scale with batch.
 """
 
 import json
@@ -87,7 +90,8 @@ def phase_encode():
     return {"encode_s_per_batch": dt, "encode_frames_per_sec": enc_batch / dt}
 
 
-def _build_decode_setup(batch: int = 1, quant: str = "int8"):
+def _build_decode_setup(batch: int = 1, quant: str = "int8",
+                        kv_dtype: str = "bfloat16"):
     import numpy as np
     import jax, jax.numpy as jnp
     from teochat_tpu.config import TEOChatConfig
@@ -117,11 +121,11 @@ def _build_decode_setup(batch: int = 1, quant: str = "int8"):
     )
 
     def run_generate(n_new):
-        cache = llama_mod.init_cache(cfg.llm, batch, t_max, dtype=jnp.bfloat16)
         toks, n = gen_mod.generate_tokens(
             llm, cfg.llm, embeds, plan.seq_lens, plan.attention_mask,
-            plan.position_ids, cache, stop, jax.random.PRNGKey(0),
+            plan.position_ids, None, stop, jax.random.PRNGKey(0),
             max_new_tokens=n_new, temperature=0.0, do_sample=False,
+            cache_len=t_max, kv_dtype=kv_dtype,
         )
         return toks
 
@@ -156,11 +160,11 @@ def phase_decode():
     }
 
 
-def phase_decode_bs8():
-    """Serving throughput: 8 concurrent sequences share each weight read."""
+def _phase_decode_batched(batch: int, kv_dtype: str = "bfloat16", tag: str = ""):
+    """Serving throughput: `batch` concurrent sequences share each weight read."""
     import jax.numpy as jnp
 
-    run_generate, max_new, _ = _build_decode_setup(batch=8)
+    run_generate, max_new, _ = _build_decode_setup(batch=batch, kv_dtype=kv_dtype)
     out = [None]
 
     def full():
@@ -174,8 +178,22 @@ def phase_decode_bs8():
 
     t_full = _timeit(full, iters=3, sync=sync)
     t_one = _timeit(one, iters=3, sync=sync)
-    tok_s = 8 * (max_new - 1) / (t_full - t_one)
-    return {"decode_tokens_per_sec_bs8": tok_s}
+    tok_s = batch * (max_new - 1) / (t_full - t_one)
+    return {f"decode_tokens_per_sec_bs{batch}{tag}": tok_s}
+
+
+def phase_decode_bs8():
+    return _phase_decode_batched(8)
+
+
+def phase_decode_bs16():
+    return _phase_decode_batched(16)
+
+
+def phase_decode_bs32():
+    # bf16 KV at bs=32 (11.8 GB cache) exceeds HBM next to 6.6 GB weights;
+    # e4m3 KV halves it. Decode at this batch is KV-bandwidth-bound anyway.
+    return _phase_decode_batched(32, kv_dtype="float8_e4m3fn", tag="_fp8kv")
 
 
 def phase_decode_int4():
@@ -234,11 +252,11 @@ def phase_e2e():
     def fn():
         vt = teochat_mod.encode_frames(params, cfg, frames)
         emb = teochat_mod.multimodal_embeds(params, cfg, plan, vt)
-        cache = llama_mod.init_cache(cfg.llm, 1, prompt_len + max_new + 1, jnp.bfloat16)
         toks, _ = gen_mod.generate_tokens(
             params["llm"], cfg.llm, emb, plan.seq_lens, plan.attention_mask,
-            plan.position_ids, cache, stop, jax.random.PRNGKey(0),
+            plan.position_ids, None, stop, jax.random.PRNGKey(0),
             max_new_tokens=max_new, temperature=0.0, do_sample=False,
+            cache_len=prompt_len + max_new + 1,
         )
         out[0] = toks
 
@@ -253,6 +271,8 @@ PHASES = {
     "encode": phase_encode,
     "decode": phase_decode,
     "decode_bs8": phase_decode_bs8,
+    "decode_bs16": phase_decode_bs16,
+    "decode_bs32": phase_decode_bs32,
     "decode_int4": phase_decode_int4,
     "e2e": phase_e2e,
 }
@@ -282,7 +302,8 @@ def main():
         return
 
     results = {}
-    for name in ("decode", "decode_bs8", "decode_int4", "encode", "e2e"):
+    for name in ("decode", "decode_bs8", "decode_bs16", "decode_bs32",
+                 "decode_int4", "encode", "e2e"):
         _log(f"running phase {name}")
         r = _run_phase_subprocess(name)
         if r:
@@ -308,6 +329,12 @@ def main():
             "prefill_tokens": results.get("prefill_tokens", 640),
             "decode_tokens_per_sec_bs8": round(
                 results.get("decode_tokens_per_sec_bs8", 0.0), 1
+            ),
+            "decode_tokens_per_sec_bs16": round(
+                results.get("decode_tokens_per_sec_bs16", 0.0), 1
+            ),
+            "decode_tokens_per_sec_bs32_fp8kv": round(
+                results.get("decode_tokens_per_sec_bs32_fp8kv", 0.0), 1
             ),
             "decode_tokens_per_sec_int4_bs1": round(
                 results.get("decode_tokens_per_sec_int4", 0.0), 1

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -99,7 +99,8 @@ def sample_token(
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "temperature", "do_sample", "top_p", "pad_id"
+        "cfg", "max_new_tokens", "temperature", "do_sample", "top_p", "pad_id",
+        "cache_len", "kv_dtype",
     ),
 )
 def generate_tokens(
@@ -109,7 +110,7 @@ def generate_tokens(
     seq_lens: jnp.ndarray,  # [B] true prompt lengths
     attention_mask: jnp.ndarray,  # [B, S] prompt validity
     position_ids: jnp.ndarray,  # [B, S]
-    cache: KVCache,  # zeroed cache, max_len >= S + max_new_tokens
+    cache: Optional[KVCache],  # zeroed cache, max_len >= S + max_new_tokens
     stop: StopSpec,
     rng: jax.Array,
     *,
@@ -118,13 +119,25 @@ def generate_tokens(
     do_sample: bool = False,
     top_p: float = 1.0,
     pad_id: int = 0,
+    cache_len: Optional[int] = None,
+    kv_dtype: str = "bfloat16",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, max_new_tokens] (pad_id after stop), n_generated [B]).
 
     Generated tokens INCLUDE the stop keyword (the reference decodes then strips
     '</s>', inference.py:75-77); callers strip via the tokenizer.
+
+    Pass `cache=None` with a static `cache_len` to allocate the KV cache
+    INSIDE the program: an argument cache is double-buffered by XLA (input +
+    working copy — 2x HBM at large batch), an internal one is a single temp.
+    `kv_dtype='float8_e4m3fn'` halves cache bytes (opt-in: decode is
+    KV-bandwidth-bound at batch, and e4m3 KV is metric-safe but not bit-exact).
     """
     b, s, _ = inputs_embeds.shape
+    if cache is None:
+        from teochat_tpu.models.llama import init_cache
+
+        cache = init_cache(cfg, b, cache_len, dtype=jnp.dtype(kv_dtype))
     t_max = cache.max_len
     m = stop.keyword_ids.shape[1]
 

@@ -4,10 +4,12 @@ TPU-first rebuild of the reference's decoder path (HF LlamaForCausalLM as used
 by videollava/model/language_model/llava_llama.py:33-99):
 - stacked per-layer params + `lax.scan` (one traced layer body, not 32);
 - RoPE in the HF rotate-half convention (checkpoint-compatible);
-- KV cache as [L, B, T_max, H_kv, D] pytree threaded through the scan as
-  per-layer xs/ys — decode steps write at a *per-row* slot index (scatter), so
-  ragged batches need no left-padding (the reference pads left,
-  llava_arch.py:302-331; here position ids and masks carry raggedness);
+- KV cache as one stacked [L, B, T_max, H_kv, D] pytree carried WHOLE through
+  a fori_loop over layers (in-place scatter writes; threading per-layer slabs
+  through scan ys would copy the full cache every decode step) — decode steps
+  write at a *per-row* slot index, so ragged batches need no left-padding
+  (the reference pads left, llava_arch.py:302-331; here position ids and
+  masks carry raggedness);
 - fp32 RMSNorm/softmax, bf16 matmuls; prefill attention routes to the Pallas
   flash kernel on TPU via ops.attention dispatch.
 """
@@ -110,12 +112,16 @@ def _attention_layer(
     v_cache: Optional[jnp.ndarray],
     write_slots: Optional[jnp.ndarray],
     right_padded: bool = False,
+    layer: Optional[jnp.ndarray] = None,
+    row_offset=0,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Self-attention with optional KV cache.
 
-    x: [B, S, D]; k_cache/v_cache: [B, T_max, H_kv, Hd]; write_slots: [B, S]
-    slot index for each new token; q_slots: [B, S] slot of each query (for
-    causal masking against cache slots); kv_mask: [B, T_max] validity.
+    x: [B, S, D]; k_cache/v_cache: FULL stacked [L, B, T_max, H_kv, Hd] with
+    `layer` selecting this layer's slab (kept whole so updates stay in place);
+    write_slots: [B, S] slot index for each new token; q_slots: [B, S] slot of
+    each query (for causal masking against cache slots); kv_mask: [B, T_max]
+    validity.
     """
     b, s, _ = x.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -142,9 +148,38 @@ def _attention_layer(
             # cache-free path: causal self-attention over S (plus padding mask)
             out = dot_product_attention(q, k, v, causal=True, mask=kv_mask)
     else:
-        batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
-        k_cache = k_cache.at[batch_idx, write_slots].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[batch_idx, write_slots].set(v.astype(v_cache.dtype))
+        # k_cache/v_cache here are the FULL stacked [L, B, T, H_kv, D] buffers
+        # with `layer` selecting this layer's slab; scatter-writing through the
+        # layer index keeps the buffers in place across the layer loop and the
+        # decode while_loop. (Round 1 threaded per-layer caches through
+        # lax.scan ys, which re-stacked — i.e. fully copied — both cache
+        # buffers every decode step: ~1.5 GB x2 at bs=8, ~10 ms/step of pure
+        # copy, the dominant cost of batched decode.)
+        if s > 1:
+            # Prefill writes are CONTIGUOUS for right-padded prompts: one
+            # dynamic_update_slice of the whole [B, S] panel at slot 0 (far
+            # faster than a 640-row scatter). Slots in [row_len, S) hold pad
+            # garbage — never attended (decode masks slot <= q_slot) and
+            # progressively overwritten by decode writes. `row_offset` places
+            # a b-row prefill at cache rows [row_offset, row_offset+b) — the
+            # serving engine prefills one request into its slot while other
+            # slots keep decoding.
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype)[None],
+                (layer, row_offset, 0, 0, 0),
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype)[None],
+                (layer, row_offset, 0, 0, 0),
+            )
+        else:
+            batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+            k_cache = k_cache.at[layer, batch_idx, write_slots].set(
+                k.astype(k_cache.dtype)
+            )
+            v_cache = v_cache.at[layer, batch_idx, write_slots].set(
+                v.astype(v_cache.dtype)
+            )
         if s > 1:
             # Prefill: right-padded fused prompts start at slot 0, so causal
             # attention over the FRESH k/v equals attention over the cache
@@ -152,14 +187,19 @@ def _attention_layer(
             # mask-free causal shape routes to the Pallas flash kernel on TPU.
             out = dot_product_attention(q, k, v, causal=True)
         else:
-            # Decode: one query per row against the cache, masked to live slots.
-            t_max = k_cache.shape[1]
+            # Decode: one query per row against this layer's cache slab,
+            # masked to live slots. The dynamic slice at `layer` is a read
+            # (XLA streams it into the attention fusion, measured at HBM
+            # roofline); only the scatter above writes.
+            kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+            t_max = kl.shape[1]
             slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, t_max), 2)
             mask = slot_ids <= q_slots[:, :, None]
             if kv_mask is not None:
                 mask = mask & kv_mask[:, None, :]
             out = dot_product_attention(
-                q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask=mask
+                q, kl.astype(q.dtype), vl.astype(q.dtype), mask=mask
             )
     out = out.reshape(b, s, h * hd)
     return _proj(out, lp["out"]), k_cache, v_cache
@@ -171,11 +211,11 @@ def _mlp(x: jnp.ndarray, lp: Params) -> jnp.ndarray:
 
 
 def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
-                   write_slots, right_padded=False):
+                   write_slots, right_padded=False, layer=None, row_offset=0):
     y = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
     attn_out, k_cache, v_cache = _attention_layer(
         y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
-        write_slots, right_padded
+        write_slots, right_padded, layer, row_offset
     )
     x = x + attn_out
     y = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
@@ -203,6 +243,7 @@ def llama_forward(
     last_index: Optional[jnp.ndarray] = None,
     remat: bool = False,
     right_padded: bool = False,
+    cache_row_offset=0,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -210,7 +251,9 @@ def llama_forward(
     attention_mask (cache-free path): [B, S] padding validity;
     cache + write_slots [B,S] + kv_mask [B,T_max]: cached path (prefill writes
     S entries; decode writes 1). `last_index`: [B] row-wise index for
-    logits_mode='last'.
+    logits_mode='last'. `cache_row_offset` (prefill only): write this
+    B-row prefill into cache rows [offset, offset+B) — the serving engine's
+    per-slot prefill; decode requires B == cache rows.
     """
     x = inputs_embeds
     b, s, _ = x.shape
@@ -238,15 +281,25 @@ def llama_forward(
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
-
-        def body(carry, xs):
-            lp, kc, vc = xs
-            y, kc, vc = layer_fn(
-                carry, lp, cfg, cos, sin, kv_mask, q_slots, kc, vc, write_slots
+        # fori_loop over layers with the STACKED cache buffers carried whole:
+        # per-layer params come from a fused dynamic slice (same access
+        # pattern scan generates) and cache updates are in-place scatters.
+        # scan-with-ys would re-stack (copy) both full cache buffers per call.
+        def body(l, carry):
+            y, kc, vc = carry
+            lp = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+                params["layers"],
             )
-            return y, (kc, vc)
+            y, kc, vc = layer_fn(
+                y, lp, cfg, cos, sin, kv_mask, q_slots, kc, vc, write_slots,
+                False, l, cache_row_offset,
+            )
+            return (y, kc, vc)
 
-        x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        x, new_k, new_v = jax.lax.fori_loop(
+            0, cfg.num_layers, body, (x, cache.k, cache.v)
+        )
         new_cache = KVCache(k=new_k, v=new_v)
 
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)

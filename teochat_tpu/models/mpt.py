@@ -81,7 +81,11 @@ def _mpt_layer(
     v_cache: Optional[jnp.ndarray],
     write_slots: Optional[jnp.ndarray],
     q_slots: Optional[jnp.ndarray],
+    layer: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """k_cache/v_cache are the FULL stacked [L, B, T, H_kv, D] buffers with
+    `layer` selecting this layer's slab (in-place update pattern shared with
+    models/llama.py — scan ys would copy the whole cache per decode step)."""
     b, s, d = x.shape
     h = cfg.n_heads
     hd = d // h
@@ -98,21 +102,34 @@ def _mpt_layer(
             q, k, v, causal=True, mask=mask, bias=bias[:, :, :, :s]
         )
     else:
-        batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
-        k_cache = k_cache.at[batch_idx, write_slots].set(k.astype(k_cache.dtype))
-        v_cache = v_cache.at[batch_idx, write_slots].set(v.astype(v_cache.dtype))
         if s > 1:
+            # contiguous right-padded prefill: one dus (see llama.py note)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype)[None], (layer, 0, 0, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype)[None], (layer, 0, 0, 0, 0)
+            )
             out = dot_product_attention(
                 q, k, v, causal=True, bias=bias[:, :, :, :s]
             )
         else:
-            t_max = k_cache.shape[1]
+            batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+            k_cache = k_cache.at[layer, batch_idx, write_slots].set(
+                k.astype(k_cache.dtype)
+            )
+            v_cache = v_cache.at[layer, batch_idx, write_slots].set(
+                v.astype(v_cache.dtype)
+            )
+            kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+            t_max = kl.shape[1]
             slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, t_max), 2)
             dec_mask = slot_ids <= q_slots[:, :, None]
             if mask is not None:
                 dec_mask = dec_mask & mask[:, None, :]
             out = dot_product_attention(
-                q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                q, kl.astype(q.dtype), vl.astype(q.dtype),
                 mask=dec_mask, bias=bias[:, :, :, :t_max],
             )
     x = x + _dense(out.reshape(b, s, d), lp["out_proj"])
@@ -158,15 +175,20 @@ def mpt_forward(
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
+        n_layers = cache.k.shape[0]
 
-        def body(carry, xs):
-            lp, kc, vc = xs
-            y, kc, vc = _mpt_layer(
-                carry, lp, cfg, bias, kv_mask, kc, vc, write_slots, q_slots
+        def body(l, carry):
+            y, kc, vc = carry
+            lp = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+                params["layers"],
             )
-            return y, (kc, vc)
+            y, kc, vc = _mpt_layer(
+                y, lp, cfg, bias, kv_mask, kc, vc, write_slots, q_slots, l
+            )
+            return (y, kc, vc)
 
-        x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+        x, nk, nv = jax.lax.fori_loop(0, n_layers, body, (x, cache.k, cache.v))
         new_cache = KVCache(k=nk, v=nv)
 
     x = _ln(x, params["final_norm"])

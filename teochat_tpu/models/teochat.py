@@ -167,11 +167,6 @@ class TEOChat:
         embeds = multimodal_embeds(self.params, cfg, plan, vision_tokens)
 
         b = len(input_ids)
-        # +1 spare slot: padded prefill tokens park their K/V there (see
-        # generation.generate_tokens trash-slot note).
-        cache = llama_mod.init_cache(
-            cfg.llm, b, pad_to + gen.max_new_tokens + 1, dtype=self._dtype
-        )
         if stop_spec is None:
             if self.tokenizer is not None and gen.stop_strings:
                 stop_spec = gen_mod.make_stop_spec(
@@ -184,15 +179,19 @@ class TEOChat:
                     eos_id=jnp.asarray(cfg.llm.eos_token_id, jnp.int32),
                 )
 
+        # cache is allocated inside the program (+1 spare slot: padded prefill
+        # tokens park their K/V there — generation trash-slot note)
         tokens, n_gen = gen_mod.generate_tokens(
             self.params["llm"], cfg.llm, embeds,
             plan.seq_lens, plan.attention_mask, plan.position_ids,
-            cache, stop_spec, rng,
+            None, stop_spec, rng,
             max_new_tokens=gen.max_new_tokens,
             temperature=gen.temperature,
             do_sample=gen.do_sample,
             top_p=gen.top_p,
             pad_id=cfg.llm.pad_token_id,
+            cache_len=pad_to + gen.max_new_tokens + 1,
+            kv_dtype=str(jnp.dtype(self._dtype)),
         )
         tokens = np.asarray(tokens)
         n_gen = np.asarray(n_gen)
