@@ -73,6 +73,62 @@ def draw_bboxes(
         return img
 
 
+def build_request(
+    text: str,
+    image_paths: Sequence,
+    tokenizer,
+    processor,
+    *,
+    conv_mode: str = "v1",
+    timestamps: Sequence[str] = (),
+    bbox: Optional[Sequence[float]] = None,
+    history: Sequence[Tuple[str, str]] = (),
+    first_turn: bool = True,
+):
+    """Build (input_ids, pixel_values, stop_str, rendered_text) for one turn.
+
+    Stateless prompt assembly shared by the per-session Chat wrapper and the
+    continuous-batching engine path (which handles each HTTP request as an
+    independent first-turn conversation)."""
+    from teochat_tpu.constants import IMAGE_TOKEN_INDEX
+    from teochat_tpu.conversation import SeparatorStyle, conv_templates
+    from teochat_tpu.eval.inference import replace_video_token
+    from teochat_tpu.mm_utils import tokenizer_image_token
+
+    if bbox is not None:
+        text = f"{text} [{', '.join(str(int(b)) for b in bbox)}]"
+    if first_turn and len(image_paths) > 0 and "<video>" not in text:
+        text = SYSTEM_PREFIX + "<video>\n" + text
+
+    conv = conv_templates[conv_mode].copy()
+    for user_msg, assistant_msg in history:
+        conv.append_message(conv.roles[0], user_msg)
+        conv.append_message(conv.roles[1], assistant_msg)
+    conv.append_message(conv.roles[0], text)
+    conv.append_message(conv.roles[1], None)
+    prompt = conv.get_prompt().replace("times:", "times in chronological order:")
+
+    image_paths = list(image_paths)
+    timestamps = list(timestamps)
+    if timestamps:
+        from datetime import datetime
+
+        image_paths, timestamps = map(list, zip(*sorted(
+            zip(image_paths, timestamps),
+            key=lambda t: datetime.strptime(t[1], "%Y-%m-%d"),
+        )))
+    prompt = replace_video_token(prompt, image_paths, "interleave")
+
+    input_ids = tokenizer_image_token(prompt, tokenizer, IMAGE_TOKEN_INDEX)
+    pixel_values = (
+        processor.preprocess(image_paths)["pixel_values"]
+        if image_paths and prompt.count("<image>")
+        else None
+    )
+    stop_str = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
+    return input_ids, pixel_values, stop_str, text
+
+
 class Chat:
     """Stateful chat session over the TEOChat model (reference :466-546)."""
 
@@ -112,43 +168,13 @@ class Chat:
         the temporal system prefix + <video> (reference :516-521); later turns
         carry the full conversation history into the prompt."""
         from teochat_tpu.config import GenerationConfig
-        from teochat_tpu.constants import IMAGE_TOKEN_INDEX
-        from teochat_tpu.conversation import SeparatorStyle, conv_templates
-        from teochat_tpu.eval.inference import replace_video_token
-        from teochat_tpu.mm_utils import tokenizer_image_token
 
-        if bbox is not None:
-            text = f"{text} [{', '.join(str(int(b)) for b in bbox)}]"
-        if self._first_turn and len(image_paths) > 0 and "<video>" not in text:
-            text = SYSTEM_PREFIX + "<video>\n" + text
-        self._first_turn = False
-
-        conv = conv_templates[self.conv_mode].copy()
-        for user_msg, assistant_msg in self.history:
-            conv.append_message(conv.roles[0], user_msg)
-            conv.append_message(conv.roles[1], assistant_msg)
-        conv.append_message(conv.roles[0], text)
-        conv.append_message(conv.roles[1], None)
-        prompt = conv.get_prompt().replace("times:", "times in chronological order:")
-
-        image_paths = list(image_paths)
-        timestamps = list(timestamps)
-        if timestamps:
-            from datetime import datetime
-
-            image_paths, timestamps = map(list, zip(*sorted(
-                zip(image_paths, timestamps),
-                key=lambda t: datetime.strptime(t[1], "%Y-%m-%d"),
-            )))
-        prompt = replace_video_token(prompt, image_paths, "interleave")
-
-        input_ids = tokenizer_image_token(prompt, self.tokenizer, IMAGE_TOKEN_INDEX)
-        pixel_values = (
-            self.processor.preprocess(image_paths)["pixel_values"]
-            if image_paths and prompt.count("<image>")
-            else None
+        input_ids, pixel_values, stop_str, text = build_request(
+            text, image_paths, self.tokenizer, self.processor,
+            conv_mode=self.conv_mode, timestamps=timestamps, bbox=bbox,
+            history=self.history, first_turn=self._first_turn,
         )
-        stop_str = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
+        self._first_turn = False
         gen = GenerationConfig(
             max_new_tokens=max_new_tokens,
             temperature=temperature,

@@ -1,0 +1,321 @@
+"""Continuous-batching serving engine: per-request KV slots over one cache.
+
+The reference serves one request at a time through gradio
+(teochat_demo.py:466-546). Decode on TPU is bandwidth-bound — every step
+re-reads all weights — so concurrent requests are nearly free until KV traffic
+dominates; this engine multiplexes up to `max_slots` requests onto ONE
+persistent KV cache:
+
+- each request prefills into its own cache row (`cache_row_offset` dus,
+  models/llama.py) while other rows keep decoding between chunks;
+- decode runs in jitted CHUNKS of `chunk` tokens over all slots (the remote-
+  TPU tunnel floors each host<->device round trip at ~2 ms, so per-token host
+  scheduling would cap the whole engine; chunking amortizes it at the cost of
+  up to chunk-1 wasted steps after a row finishes);
+- admission/completion happens on the host at chunk boundaries: finished rows
+  free their slot, queued requests prefill into free slots;
+- greedy rows reproduce the single-request outputs EXACTLY (same kernels,
+  same masks) — batching changes scheduling, not numerics.
+
+The cache buffer is donated through both the prefill and chunk programs, so
+it is updated in place (never copied) across the engine's lifetime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import GenerationConfig, TEOChatConfig
+from teochat_tpu.models import fusion as fusion_mod
+from teochat_tpu.models import llama as llama_mod
+from teochat_tpu.models import teochat as teochat_mod
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _prefill_slot(params, cache, cfg, embeds, position_ids, seq_len, slot):
+    """Prefill one request (embeds [1, S, D]) into cache row `slot`.
+
+    Returns (last-token logits [1, V], cache). The dus write touches only
+    rows [slot, slot+1); other rows' K/V are untouched. Right-padded prompts:
+    causal attention over the fresh K/V keeps pad keys invisible to valid
+    queries, and the garbage pad outputs are discarded by last_index.
+    """
+    logits, cache = llama_mod.llama_forward(
+        params, cfg, embeds,
+        position_ids=position_ids,
+        cache=cache,
+        write_slots=position_ids,  # unused for contiguous prefill writes
+        kv_mask=None,
+        logits_mode="last",
+        last_index=seq_len - 1,
+        cache_row_offset=slot,
+    )
+    return logits[:, 0], cache
+
+
+def _sample_rows(logits, rng, temperature, do_sample):
+    """Per-row greedy/temperature sampling. temperature/do_sample: [B] arrays."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temp = jnp.maximum(temperature, 1e-6)[:, None]
+    sampled = jax.random.categorical(rng, logits / temp, axis=-1).astype(jnp.int32)
+    use_sample = do_sample & (temperature > 0.0)
+    return jnp.where(use_sample, sampled, greedy)
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"), donate_argnums=(1,))
+def _decode_chunk(params, cache, cfg, chunk, last_tokens, positions, active,
+                  temperature, do_sample, rng, eos_id, pad_id):
+    """Run `chunk` decode steps over all slots; returns (tokens [B, chunk],
+    active', positions', cache).
+
+    Inactive rows write their K/V to the trash slot (t_max-1) and emit pad_id.
+    A row turning EOS inside the chunk goes inactive immediately (its later
+    in-chunk steps are wasted but harmless). String-level stopping happens on
+    the host between chunks.
+    """
+    b = last_tokens.shape[0]
+    t_max = cache.max_len
+    trash = t_max - 1
+
+    def step(carry, _):
+        tok, pos, act, cache, rng = carry
+        step_rng, rng = jax.random.split(rng)
+        emb = llama_mod.embed_tokens(params, tok[:, None])
+        write = jnp.where(act, pos, trash)[:, None]
+        kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) <= pos[:, None]
+        logits, cache = llama_mod.llama_forward(
+            params, cfg, emb, position_ids=pos[:, None], cache=cache,
+            write_slots=write, kv_mask=kv_mask, logits_mode="last",
+        )
+        nxt = _sample_rows(logits[:, -1], step_rng, temperature, do_sample)
+        nxt = jnp.where(act, nxt, pad_id)
+        pos = pos + act.astype(jnp.int32)
+        act = act & (nxt != eos_id)
+        return (nxt, pos, act, cache, rng), nxt
+
+    (tok, positions, active, cache, _), toks = jax.lax.scan(
+        step, (last_tokens, positions, active, cache, rng), None, length=chunk
+    )
+    return toks.T, active, positions, cache
+
+
+@dataclasses.dataclass
+class _Request:
+    input_ids: List[int]
+    pixel_values: Optional[np.ndarray]
+    gen: GenerationConfig
+    stop_strings: Sequence[str]
+    event: threading.Event
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    error: Optional[str] = None
+    slot: int = -1
+    remaining: int = 0
+
+
+class BatchEngine:
+    """Continuous-batching scheduler over a TEOChat model.
+
+    submit() is thread-safe and blocks until the request completes (the
+    HTTP handler calls it per request; concurrency comes from many handler
+    threads sharing the engine).
+    """
+
+    def __init__(self, model: teochat_mod.TEOChat, *, max_slots: int = 4,
+                 max_len: int = 2048, chunk: int = 8, kv_dtype=None):
+        self.model = model
+        self.cfg: TEOChatConfig = model.cfg
+        self.max_slots = max_slots
+        self.max_len = max_len
+        self.chunk = chunk
+        dtype = kv_dtype or model._dtype
+        self.cache = llama_mod.init_cache(
+            self.cfg.llm, max_slots, max_len, dtype=dtype
+        )
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._slots: List[Optional[_Request]] = [None] * max_slots
+        self._positions = np.zeros((max_slots,), np.int32)
+        self._last_tokens = np.zeros((max_slots,), np.int32)
+        self._temperature = np.zeros((max_slots,), np.float32)
+        self._do_sample = np.zeros((max_slots,), bool)
+        self._rng = jax.random.PRNGKey(0)
+        self._lock = threading.Lock()
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"max_concurrent": 0, "chunks": 0, "requests": 0}
+
+    # ------------------------------------------------------------- submit
+    def submit(self, input_ids: Sequence[int],
+               pixel_values: Optional[np.ndarray] = None,
+               gen: Optional[GenerationConfig] = None) -> List[int]:
+        """Enqueue one request; blocks until done; returns generated ids."""
+        gen = gen or GenerationConfig()
+        fused_len = len(input_ids) + sum(
+            1 for t in input_ids if t == fusion_mod.IMAGE_TOKEN_INDEX
+        ) * (self.model.tokens_per_frame - 1)
+        if fused_len + gen.max_new_tokens + 1 > self.max_len:
+            raise ValueError(
+                f"prompt ({fused_len} fused tokens) + max_new_tokens "
+                f"({gen.max_new_tokens}) exceeds engine max_len {self.max_len}"
+            )
+        req = _Request(
+            input_ids=list(input_ids), pixel_values=pixel_values, gen=gen,
+            stop_strings=gen.stop_strings or (), event=threading.Event(),
+            remaining=gen.max_new_tokens,
+        )
+        self._queue.put(req)
+        req.event.wait()
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.tokens
+
+    # ------------------------------------------------------------- engine
+    def start(self):
+        self._thread = threading.Thread(target=self.run_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self):
+        self._stop = True
+        self._queue.put(None)  # wake the loop
+
+    def run_forever(self):
+        while not self._stop:
+            made_progress = self._step_once(block=all(s is None for s in self._slots))
+            if not made_progress and self._stop:
+                return
+
+    # one scheduling iteration: admit new requests, run one decode chunk
+    def _step_once(self, block: bool = False) -> bool:
+        admitted = self._admit(block=block)
+        active_reqs = [r for r in self._slots if r is not None]
+        if not active_reqs:
+            return admitted
+        self.stats["max_concurrent"] = max(
+            self.stats["max_concurrent"], len(active_reqs)
+        )
+        self._run_chunk()
+        return True
+
+    def _admit(self, block: bool) -> bool:
+        admitted = False
+        while any(s is None for s in self._slots):
+            try:
+                req = self._queue.get(block=block and not admitted, timeout=5.0 if block else None)
+            except queue.Empty:
+                break
+            if req is None:
+                break
+            slot = self._slots.index(None)
+            self._slots[slot] = req  # reserve before prefill (prefill may finish it)
+            req.slot = slot
+            try:
+                self._prefill(req, slot)
+                self.stats["requests"] += 1
+                admitted = True
+            except Exception as e:  # noqa: BLE001 — surfaced to the caller
+                self._slots[slot] = None
+                req.error = f"{type(e).__name__}: {e}"
+                req.event.set()
+            block = False
+        return admitted
+
+    def _prefill(self, req: _Request, slot: int):
+        model, cfg = self.model, self.cfg
+        n_frames = fusion_mod.count_frames([req.input_ids])
+        if n_frames:
+            if req.pixel_values is None or req.pixel_values.shape[0] != n_frames:
+                raise ValueError(f"prompt needs {n_frames} frames")
+            vision_tokens = model.encode(req.pixel_values)
+        else:
+            vision_tokens = jnp.zeros(
+                (1, model.tokens_per_frame, cfg.llm.hidden_size), model._dtype
+            )
+        fused_len = len(req.input_ids) + sum(
+            1 for t in req.input_ids if t == fusion_mod.IMAGE_TOKEN_INDEX
+        ) * (model.tokens_per_frame - 1)
+        pad_to = teochat_mod.round_to_bucket(
+            min(fused_len, self.max_len), teochat_mod.SEQ_BUCKETS
+        )
+        pad_to = min(pad_to, self.max_len)
+        plan = fusion_mod.build_fusion_plan(
+            [req.input_ids], tokens_per_frame=model.tokens_per_frame,
+            max_length=self.max_len, pad_to=pad_to,
+        )
+        embeds = teochat_mod.multimodal_embeds(model.params, cfg, plan, vision_tokens)
+        logits, self.cache = _prefill_slot(
+            model.params["llm"], self.cache, cfg.llm, embeds,
+            plan.position_ids, plan.seq_lens, jnp.asarray(slot, jnp.int32),
+        )
+        # first sampled token comes from the prefill logits
+        self._rng, step_rng = jax.random.split(self._rng)
+        tok = _sample_rows(
+            logits, step_rng,
+            jnp.asarray([req.gen.temperature], jnp.float32),
+            jnp.asarray([req.gen.do_sample], bool),
+        )
+        tok_i = int(tok[0])
+        self._positions[slot] = int(plan.seq_lens[0])
+        self._last_tokens[slot] = tok_i
+        self._temperature[slot] = req.gen.temperature
+        self._do_sample[slot] = req.gen.do_sample
+        req.tokens.append(tok_i)
+        req.remaining -= 1
+        self._finish_if_done(req, slot)
+
+    def _run_chunk(self):
+        cfg = self.cfg
+        active = np.asarray([
+            self._slots[i] is not None for i in range(self.max_slots)
+        ])
+        self._rng, chunk_rng = jax.random.split(self._rng)
+        toks, act_out, pos_out, self.cache = _decode_chunk(
+            self.model.params["llm"], self.cache, cfg.llm, self.chunk,
+            jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
+            jnp.asarray(active), jnp.asarray(self._temperature),
+            jnp.asarray(self._do_sample), chunk_rng,
+            jnp.asarray(cfg.llm.eos_token_id, jnp.int32),
+            jnp.asarray(cfg.llm.pad_token_id, jnp.int32),
+        )
+        toks = np.asarray(toks)
+        self._positions = np.asarray(pos_out)
+        self._last_tokens = toks[:, -1]
+        self.stats["chunks"] += 1
+        for slot, req in enumerate(self._slots):
+            if req is None:
+                continue
+            for t in toks[slot]:
+                if req.remaining <= 0:
+                    break
+                req.tokens.append(int(t))
+                req.remaining -= 1
+                if int(t) == cfg.llm.eos_token_id or self._hit_stop(req):
+                    req.remaining = 0
+                    break
+            self._finish_if_done(req, slot)
+
+    def _hit_stop(self, req: _Request) -> bool:
+        if not req.stop_strings or self.model.tokenizer is None:
+            return False
+        text = self.model.tokenizer.decode(req.tokens)
+        return any(s in text for s in req.stop_strings)
+
+    def _finish_if_done(self, req: _Request, slot: int):
+        done = (
+            req.remaining <= 0
+            or (req.tokens and req.tokens[-1] == self.cfg.llm.eos_token_id)
+            or self._hit_stop(req)
+        )
+        if done:
+            self._slots[slot] = None
+            self._temperature[slot] = 0.0
+            self._do_sample[slot] = False
+            req.event.set()

@@ -10,9 +10,14 @@ stdlib ThreadingHTTPServer speaking JSON:
       -> {"response": str, "bboxes": [[x1,y1,x2,y2], ...]}
     GET /health -> {"status": "ok"}
 
-Requests are funneled through a single worker thread: the TPU generate path is
-a single-stream resource (batching across requests is the eval harness's job;
-request-level continuous batching is future work).
+Two execution modes:
+- default: requests funnel through one worker thread over a stateful Chat
+  session (matches the reference demo's single-session behavior);
+- `engine=BatchEngine(...)`: requests are handled CONCURRENTLY — each HTTP
+  handler thread builds a stateless first-turn prompt and submits to the
+  continuous-batching engine, which multiplexes decode across per-request KV
+  slots (serve/engine.py). Aggregate tokens/s grows with concurrency because
+  batched decode shares each weight read.
 """
 
 from __future__ import annotations
@@ -41,12 +46,39 @@ def _decode_images(b64_list):
 class ChatServer:
     """Wraps a serve.chat.Chat (or compatible) behind HTTP."""
 
-    def __init__(self, chat, host: str = "127.0.0.1", port: int = 7860):
+    def __init__(self, chat, host: str = "127.0.0.1", port: int = 7860,
+                 engine=None):
         self.chat = chat
         self.host = host
         self.port = port
+        self.engine = engine  # serve.engine.BatchEngine (already started)
         self._jobs: "queue.Queue" = queue.Queue()
         self._httpd: Optional[ThreadingHTTPServer] = None
+
+    def _engine_generate(self, payload):
+        """Stateless per-request path through the continuous-batching engine.
+        Runs on the HTTP handler thread; concurrency = concurrent requests."""
+        from teochat_tpu.config import GenerationConfig
+        from teochat_tpu.eval.inference import extract_bboxes
+        from teochat_tpu.serve.chat import build_request
+
+        images = _decode_images(payload.get("images", []))
+        input_ids, pixel_values, stop_str, _ = build_request(
+            payload["prompt"], images, self.chat.tokenizer, self.chat.processor,
+            conv_mode=self.chat.conv_mode,
+            timestamps=payload.get("timestamps", []),
+            bbox=payload.get("bbox"),
+        )
+        temperature = float(payload.get("temperature", 0.2))
+        gen = GenerationConfig(
+            max_new_tokens=int(payload.get("max_new_tokens", 256)),
+            temperature=temperature,
+            do_sample=temperature > 0,
+            stop_strings=(stop_str,),
+        )
+        toks = self.engine.submit(input_ids, pixel_values, gen)
+        response = self.chat.tokenizer.decode(toks).replace("</s>", "").strip()
+        return {"response": response, "bboxes": extract_bboxes(response)}
 
     def _worker(self):
         while True:
@@ -99,6 +131,11 @@ class ChatServer:
                         return self._send(400, {"error": "missing 'prompt'"})
                 except (ValueError, json.JSONDecodeError) as e:
                     return self._send(400, {"error": f"bad request: {e}"})
+                if server.engine is not None:
+                    try:
+                        return self._send(200, server._engine_generate(payload))
+                    except Exception as e:  # noqa: BLE001 — HTTP 400
+                        return self._send(400, {"error": str(e)})
                 done = {"event": threading.Event()}
                 server._jobs.put((payload, done))
                 done["event"].wait()
@@ -139,13 +176,25 @@ def main(argv=None):
     p.add_argument("--load_8bit", action="store_true", default=True)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--continuous_batching", action="store_true",
+                   help="multiplex concurrent requests over per-request KV slots")
+    p.add_argument("--max_slots", type=int, default=4)
+    p.add_argument("--max_len", type=int, default=2048)
     args = p.parse_args(argv)
 
     from teochat_tpu.serve.chat import Chat
 
     chat = Chat(args.model_path, load_8bit=args.load_8bit, vision_path=args.vision_path)
-    print(f"serving on {args.host}:{args.port}")
-    ChatServer(chat, args.host, args.port).serve_forever()
+    engine = None
+    if args.continuous_batching:
+        from teochat_tpu.serve.engine import BatchEngine
+
+        engine = BatchEngine(
+            chat.model, max_slots=args.max_slots, max_len=args.max_len
+        ).start()
+    print(f"serving on {args.host}:{args.port}"
+          + (" (continuous batching)" if engine else ""))
+    ChatServer(chat, args.host, args.port, engine=engine).serve_forever()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,128 @@
+"""Continuous-batching engine: correctness vs single-request generate,
+concurrent admission, and the HTTP concurrent-streams path."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from teochat_tpu.config import GenerationConfig, tiny_test_config
+from teochat_tpu.constants import IMAGE_TOKEN_INDEX
+from teochat_tpu.data.processing import ImageProcessor
+from teochat_tpu.models.teochat import TEOChat, init_teochat
+from teochat_tpu.serve.engine import BatchEngine
+from tests.test_eval_e2e import MockTokenizer
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config(vocab_size=128)
+    return TEOChat(cfg, init_teochat(jax.random.PRNGKey(0), cfg),
+                   tokenizer=MockTokenizer())
+
+
+def _prompts(model, n):
+    tpf = model.tokens_per_frame
+    rng = np.random.RandomState(7)
+    out = []
+    for i in range(n):
+        ids = [1, 5 + i, IMAGE_TOKEN_INDEX] + list(rng.randint(4, 100, 3 + i))
+        frames = rng.randn(1, 3, 28, 28).astype(np.float32)
+        out.append((ids, frames))
+    return out
+
+
+def test_engine_matches_single_request_greedy(model):
+    """Greedy rows through the batched engine reproduce TEOChat.generate
+    exactly — batching changes scheduling, not numerics."""
+    gen = GenerationConfig(max_new_tokens=6, temperature=0.0, do_sample=False,
+                           stop_strings=())
+    prompts = _prompts(model, 3)
+    expected = [
+        model.generate([ids], frames, gen)[0] for ids, frames in prompts
+    ]
+
+    engine = BatchEngine(model, max_slots=4, max_len=64, chunk=2).start()
+    try:
+        results = [None] * len(prompts)
+        threads = []
+        for i, (ids, frames) in enumerate(prompts):
+            def run(i=i, ids=ids, frames=frames):
+                results[i] = engine.submit(ids, frames, gen)
+            t = threading.Thread(target=run)
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join(timeout=600)
+        assert all(r is not None for r in results)
+        for got, want in zip(results, expected):
+            assert got == want
+        assert engine.stats["requests"] == 3
+        assert engine.stats["max_concurrent"] >= 2  # batching actually happened
+    finally:
+        engine.shutdown()
+
+
+def test_engine_rejects_oversized_prompt(model):
+    engine = BatchEngine(model, max_slots=2, max_len=32, chunk=2)
+    with pytest.raises(ValueError):
+        engine.submit([1] * 40, None, GenerationConfig(max_new_tokens=4))
+
+
+def test_engine_text_only_and_eos(model):
+    """Text-only prompts need no frames; eos_token stops a row early."""
+    engine = BatchEngine(model, max_slots=2, max_len=64, chunk=4).start()
+    try:
+        gen = GenerationConfig(max_new_tokens=8, temperature=0.0,
+                               do_sample=False, stop_strings=())
+        toks = engine.submit([1, 9, 12, 4], None, gen)
+        assert 1 <= len(toks) <= 8
+        eos = model.cfg.llm.eos_token_id
+        if eos in toks:
+            assert toks[-1] == eos  # nothing after the stop token
+    finally:
+        engine.shutdown()
+
+
+def test_http_concurrent_streams(model):
+    """VERDICT done-criterion: >=4 concurrent HTTP streams through the
+    engine-backed server all complete, with real slot-level concurrency."""
+    from teochat_tpu.serve.chat import Chat
+    from teochat_tpu.serve.server import ChatServer
+
+    chat = Chat(model_bundle=(model.tokenizer, model, ImageProcessor(size=28)))
+    engine = BatchEngine(model, max_slots=4, max_len=128, chunk=2).start()
+    srv = ChatServer(chat, host="127.0.0.1", port=0, engine=engine)
+    srv.start_background()
+    try:
+        port = srv._httpd.server_address[1]
+        results = [None] * 4
+        def post(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({
+                    "prompt": f"Describe scene {i}.",
+                    "images": [],
+                    "temperature": 0.0,
+                    "max_new_tokens": 6,
+                }).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                results[i] = (r.status, json.loads(r.read()))
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert all(r is not None and r[0] == 200 for r in results), results
+        assert all(isinstance(r[1]["response"], str) for r in results)
+        assert engine.stats["requests"] == 4
+        assert engine.stats["max_concurrent"] >= 2
+    finally:
+        srv.shutdown()
+        engine.shutdown()
