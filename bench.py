@@ -91,7 +91,9 @@ def phase_encode():
 
 
 def _build_decode_setup(batch: int = 1, quant: str = "int8",
-                        kv_dtype: str = "bfloat16"):
+                        kv_dtype: str = "bfloat16", int8_act: bool = False):
+    import dataclasses
+
     import numpy as np
     import jax, jax.numpy as jnp
     from teochat_tpu.config import TEOChatConfig
@@ -101,6 +103,10 @@ def _build_decode_setup(batch: int = 1, quant: str = "int8",
     from teochat_tpu.ops.quant import random_int4_llama, random_int8_llama
 
     cfg = TEOChatConfig()
+    if int8_act:
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, int8_prefill_activations=True)
+        )
     make = random_int4_llama if quant == "int4" else random_int8_llama
     llm = make(jax.random.PRNGKey(0), cfg.llm)
     jax.block_until_ready(llm)
@@ -196,6 +202,25 @@ def phase_decode_bs32():
     return _phase_decode_batched(32, kv_dtype="float8_e4m3fn", tag="_fp8kv")
 
 
+def phase_ttft_int8act():
+    """w8a8 prefill (per-token int8 activations -> int8 MXU at 2x bf16 rate):
+    prefill is compute-bound, so TTFT should drop well below the bf16-act
+    number. Decode steps are unchanged (bandwidth-bound, w8a16)."""
+    import jax.numpy as jnp
+
+    run_generate, max_new, prompt_len = _build_decode_setup(int8_act=True)
+    out = [None]
+
+    def one():
+        out[0] = run_generate(1)
+
+    def sync():
+        int(jnp.sum(out[0]))
+
+    t_one = _timeit(one, iters=3, sync=sync)
+    return {"ttft_s_prefill640_int8act": t_one}
+
+
 def phase_decode_int4():
     """bs=1 decode with packed int4 weights (w4a16): the bandwidth-bound
     single-stream ceiling is ~2x the int8 one."""
@@ -274,6 +299,7 @@ PHASES = {
     "decode_bs16": phase_decode_bs16,
     "decode_bs32": phase_decode_bs32,
     "decode_int4": phase_decode_int4,
+    "ttft_int8act": phase_ttft_int8act,
     "e2e": phase_e2e,
 }
 
@@ -303,7 +329,7 @@ def main():
 
     results = {}
     for name in ("decode", "decode_bs8", "decode_bs16", "decode_bs32",
-                 "decode_int4", "encode", "e2e"):
+                 "decode_int4", "ttft_int8act", "encode", "e2e"):
         _log(f"running phase {name}")
         r = _run_phase_subprocess(name)
         if r:
@@ -322,6 +348,9 @@ def main():
             ),
             "p50_ttft_s_2frame_640tok_int8": round(
                 results.get("ttft_s_prefill640_int8", 0.0), 4
+            ),
+            "ttft_s_prefill640_int8act_w8a8": round(
+                results.get("ttft_s_prefill640_int8act", 0.0), 4
             ),
             "xbd_2frame_e2e_latency_s_32newtok": round(
                 results.get("xbd_2frame_e2e_latency_s_32newtok", 0.0), 4

@@ -91,6 +91,10 @@ class LlamaConfig:
     eos_token_id: int = 2
     pad_token_id: int = 0
     tie_word_embeddings: bool = False
+    # w8a8 prefill: per-token int8 activations feed the int8 MXU (2x bf16
+    # rate on v5e) for s>1 projections when the backbone is int8-quantized.
+    # Off by default: metric-parity, not bit-parity (ops/quant.py).
+    int8_prefill_activations: bool = False
 
     @property
     def head_dim(self) -> int:

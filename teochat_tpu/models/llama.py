@@ -72,15 +72,20 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
 
 
-def _proj(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+def _proj(x: jnp.ndarray, p: Params, act_quant: bool = False) -> jnp.ndarray:
     if "packed" in p or "packed_tiles" in p:  # int4 w4a16 (ops/quant.py)
         from teochat_tpu.ops.quant import int4_proj
 
         y = int4_proj(x, p)
     elif "scale" in p:  # int8 weight-only path (ops/quant.py)
-        from teochat_tpu.ops.quant import quantized_proj
+        if act_quant:  # w8a8 prefill: int8 MXU at 2x bf16 rate
+            from teochat_tpu.ops.quant import quantized_proj_act_i8
 
-        y = quantized_proj(x, p)
+            y = quantized_proj_act_i8(x, p)
+        else:
+            from teochat_tpu.ops.quant import quantized_proj
+
+            y = quantized_proj(x, p)
     else:
         y = jnp.einsum(
             "...d,df->...f", x, p["kernel"].astype(x.dtype),
@@ -114,6 +119,7 @@ def _attention_layer(
     right_padded: bool = False,
     layer: Optional[jnp.ndarray] = None,
     row_offset=0,
+    act_quant: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Self-attention with optional KV cache.
 
@@ -125,9 +131,9 @@ def _attention_layer(
     """
     b, s, _ = x.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = _proj(x, lp["q"]).reshape(b, s, h, hd)
-    k = _proj(x, lp["k"]).reshape(b, s, hkv, hd)
-    v = _proj(x, lp["v"]).reshape(b, s, hkv, hd)
+    q = _proj(x, lp["q"], act_quant).reshape(b, s, h, hd)
+    k = _proj(x, lp["k"], act_quant).reshape(b, s, hkv, hd)
+    v = _proj(x, lp["v"], act_quant).reshape(b, s, hkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -202,24 +208,29 @@ def _attention_layer(
                 q, kl.astype(q.dtype), vl.astype(q.dtype), mask=mask
             )
     out = out.reshape(b, s, h * hd)
-    return _proj(out, lp["out"]), k_cache, v_cache
+    return _proj(out, lp["out"], act_quant), k_cache, v_cache
 
 
-def _mlp(x: jnp.ndarray, lp: Params) -> jnp.ndarray:
-    gate = jax.nn.silu(_proj(x, lp["gate"]).astype(jnp.float32)).astype(x.dtype)
-    return _proj(gate * _proj(x, lp["up"]), lp["down"])
+def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False) -> jnp.ndarray:
+    gate = jax.nn.silu(
+        _proj(x, lp["gate"], act_quant).astype(jnp.float32)
+    ).astype(x.dtype)
+    return _proj(gate * _proj(x, lp["up"], act_quant), lp["down"], act_quant)
 
 
 def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
                    write_slots, right_padded=False, layer=None, row_offset=0):
+    # w8a8 projections on the compute-bound prefill only (s>1); decode is
+    # bandwidth-bound and keeps bf16 activations
+    act_quant = cfg.int8_prefill_activations and x.shape[1] > 1
     y = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
     attn_out, k_cache, v_cache = _attention_layer(
         y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
-        write_slots, right_padded, layer, row_offset
+        write_slots, right_padded, layer, row_offset, act_quant
     )
     x = x + attn_out
     y = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
-    return x + _mlp(y, lp["mlp"]), k_cache, v_cache
+    return x + _mlp(y, lp["mlp"], act_quant), k_cache, v_cache
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray:

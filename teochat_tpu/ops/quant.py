@@ -50,6 +50,33 @@ def quantized_proj(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return (y * p["scale"].astype(jnp.float32)).astype(x.dtype)
 
 
+def quantized_proj_act_i8(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """w8a8 projection: per-token int8 activations x int8 weights on the MXU.
+
+    The int8 systolic path runs at 2x the bf16 rate on v5e (394 vs 197 TOPS),
+    which matters for the compute-bound PREFILL (decode is bandwidth-bound and
+    stays w8a16). Per-token symmetric scales: amax over the feature axis, so
+
+        y = (x_i8 @ W_i8) * (scale_x[token] * scale_w[channel])
+
+    with an int32 accumulator. Numerics are metric-parity, not bit-parity —
+    bounded by the per-token quantization error (tested in
+    tests/test_quant.py::test_act_i8_prefill_logit_bound). The reference's
+    bitsandbytes LLM.int8 keeps activations fp16 (GPU outlier decomposition);
+    this is the TPU-native 2x-TTFT lever instead.
+    """
+    x32 = jnp.asarray(x, jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale_x = jnp.where(amax == 0, 1.0, amax / 127.0)
+    x_i8 = jnp.clip(jnp.round(x32 / scale_x), -127, 127).astype(jnp.int8)
+    y = jnp.einsum(
+        "...d,df->...f", x_i8, p["kernel"],
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * scale_x * p["scale"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _int4_proj_tiled(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     from teochat_tpu.ops.int4_matmul import int4_matmul_tiled, unpack_int4_halves
 

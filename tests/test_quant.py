@@ -86,3 +86,43 @@ def test_int4_forward_correlates():
     got, _ = llama_forward(qparams, CFG, emb, position_ids=pos)
     r = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
     assert r > 0.98, r
+
+
+def test_act_i8_prefill_logit_bound():
+    """w8a8 prefill (int8_prefill_activations) must stay close to the w8a16
+    path: bounded logit error, same greedy next token on a tiny model."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from teochat_tpu.config import tiny_test_config
+    from teochat_tpu.models import llama as llama_mod
+    from teochat_tpu.ops.quant import quantize_llama_params
+
+    cfg = tiny_test_config().llm
+    params = quantize_llama_params(
+        llama_mod.init_llama(jax.random.PRNGKey(0), cfg)
+    )
+    b, s = 2, 8
+    embeds = jnp.asarray(
+        np.random.RandomState(0).randn(b, s, cfg.hidden_size) * 0.1, jnp.float32
+    )
+    pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
+    amask = jnp.ones((b, s), bool)
+
+    def logits_for(flag):
+        c = dataclasses.replace(cfg, int8_prefill_activations=flag)
+        out, _ = llama_mod.llama_forward(
+            params, c, embeds, position_ids=pos, attention_mask=amask
+        )
+        return np.asarray(out)
+
+    base = logits_for(False)
+    w8a8 = logits_for(True)
+    denom = np.maximum(np.abs(base).max(), 1e-6)
+    rel = np.abs(w8a8 - base).max() / denom
+    assert rel < 0.05, f"w8a8 prefill logits diverge: rel={rel}"
+    np.testing.assert_array_equal(
+        base[:, -1].argmax(-1), w8a8[:, -1].argmax(-1)
+    )
