@@ -42,8 +42,19 @@ class VisionConfig:
     num_frames: int = 8
 
     @property
+    def grid(self):
+        """(grid_h, grid_w); image_size may be an int (square towers) or an
+        (H, W) tuple — the audio tower runs the same ViT over rectangular
+        mel spectrograms (reference modeling_audio.py:798 sets
+        image_size=[num_mel_bins, target_length])."""
+        hw = self.image_size
+        h, w = (hw, hw) if isinstance(hw, int) else hw
+        return (h // self.patch_size, w // self.patch_size)
+
+    @property
     def num_patches(self) -> int:
-        return (self.image_size // self.patch_size) ** 2
+        gh, gw = self.grid
+        return gh * gw
 
     @property
     def num_positions(self) -> int:

@@ -102,7 +102,22 @@ def build_vision_tower(
     name = tower_name.lower()
     if "video" in name:
         cfg = dataclasses.replace(cfg, add_time_attn=True)
+    elif "audio" in name:
+        # LanguageBind_Audio runs the SAME CLIP stack over rectangular mel
+        # spectrograms: image_size = [num_mel_bins, target_length] with the
+        # position table resized (reference modeling_audio.py:795-846;
+        # LanguageBind release geometry 126 x 1036 -> 9 x 74 patches at p=14).
+        cfg = dataclasses.replace(
+            cfg, add_time_attn=False,
+            image_size=(
+                kwargs.get("num_mel_bins", 126),
+                kwargs.get("target_length", 1036),
+            ),
+        )
     elif any(k in name for k in ("image", "openai", "laion", "depth", "thermal", "clip")):
+        # depth/thermal are geometry clones of the image tower (their
+        # modeling_{depth,thermal}.py files are byte-near copies of
+        # modeling_image.py; only preprocessing differs, data/processing_extra)
         cfg = dataclasses.replace(cfg, add_time_attn=False)
     else:
         raise ValueError(f"Unknown vision tower: {tower_name}")

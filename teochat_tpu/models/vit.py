@@ -101,11 +101,11 @@ def embed_patches(params: Params, cfg: VisionConfig, pixel_values: jnp.ndarray) 
     """[B, 3, H, W] -> [B, 1+num_patches, D] (CLS + patches + positions + pre-LN)."""
     b = pixel_values.shape[0]
     p = cfg.patch_size
-    g = cfg.image_size // p
-    x = pixel_values.reshape(b, 3, g, p, g, p)
-    # -> [B, gh, gw, 3, p, p] -> [B, g*g, 3*p*p]; flatten order (c, ph, pw)
+    gh, gw = cfg.grid  # rectangular for the audio tower's spectrograms
+    x = pixel_values.reshape(b, 3, gh, p, gw, p)
+    # -> [B, gh, gw, 3, p, p] -> [B, gh*gw, 3*p*p]; flatten order (c, ph, pw)
     # matches a conv kernel flattened the same way by the checkpoint converter.
-    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, g * g, 3 * p * p)
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, gh * gw, 3 * p * p)
     x = jnp.einsum("bnk,kd->bnd", x, params["patch_embedding"]["kernel"].astype(x.dtype),
                    preferred_element_type=jnp.float32).astype(pixel_values.dtype)
     cls = jnp.broadcast_to(

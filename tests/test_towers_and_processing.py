@@ -116,3 +116,41 @@ def test_video_processor_decodes_file(tmp_path):
     # frames must be temporally ordered (brightness increases)
     means = out[0].mean(axis=(1, 2, 3))
     assert (np.diff(means) > 0).all()
+
+
+def test_audio_tower_rectangular_geometry():
+    """LanguageBind_Audio = same ViT over a rectangular mel spectrogram
+    (reference modeling_audio.py:798: image_size=[num_mel_bins, target_length])."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from teochat_tpu.config import VisionConfig
+    from teochat_tpu.models.towers import build_vision_tower
+
+    tower = build_vision_tower("LanguageBind_Audio")
+    assert tower.cfg.image_size == (126, 1036)
+    assert tower.cfg.grid == (9, 74)
+    assert tower.num_patches == 9 * 74
+
+    # tiny rectangular forward exercises the non-square patchify path
+    tiny = dataclasses.replace(
+        VisionConfig(image_size=(14, 28), patch_size=7, hidden_size=32,
+                     intermediate_size=64, num_layers=2, num_heads=4),
+    )
+    t2 = build_vision_tower("LanguageBind_Audio", base_cfg=tiny,
+                            num_mel_bins=14, target_length=28)
+    t2.load_model(rng=jax.random.PRNGKey(0))
+    spec = jnp.zeros((2, 3, 14, 28), jnp.float32)
+    out = t2(spec)
+    assert out.shape == (2, 2 * 4, 32)  # patch features, CLS dropped
+
+
+def test_depth_thermal_towers_dispatch():
+    from teochat_tpu.models.towers import build_vision_tower
+
+    for name in ("LanguageBind_Depth", "LanguageBind_Thermal"):
+        tower = build_vision_tower(name)
+        assert tower.cfg.add_time_attn is False
+        assert tower.cfg.image_size == 224
