@@ -1,17 +1,26 @@
 """Pallas flash-decode attention over the KV cache (single query per row).
 
-Status: EXPERIMENTAL, not wired into the decode loop. Measured on v5e, the
-XLA masked-attention path already streams the [B,T,H,D] cache at the HBM
-roofline (~575 GB/s in isolation; the round-1 batched-decode shortfall was
-the layer-scan re-stacking the cache, fixed in models/llama.py), so this
-kernel only wins where XLA *cannot*: reading less than T_max per row. It
-takes scalar-prefetched per-row lengths and CLAMPS the KV block index to the
-row's last valid block — Pallas skips the HBM->VMEM copy when consecutive
-grid steps map to the same block, so traffic scales with true ragged lengths.
-That matters for continuous-batching serving where one long row otherwise
-forces full-T_max reads for every short row. Known gap: per-(b,h,t) grid
-steps are latency-bound at small blocks (~10us/step); block over heads
-before wiring this into the server hot path.
+Status: EXPERIMENTAL, not wired into the decode loop — kept as a documented
+negative result with tests. Measured on v5e (32-layer x 32-step loops,
+B=8 H=32 D=128 T=2048):
+
+- XLA masked attention over the [B,T,H,D] cache: 13.05 ms/step uniform,
+  13.12 ragged = ~658 GB/s — AT the HBM roofline. (The round-1 batched-decode
+  shortfall was the layer scan re-stacking the cache, fixed in
+  models/llama.py, not the attention op.)
+- This kernel, head-blocked (grid B x Hkv/8 x T/256, 1 MB KV DMA per step):
+  38.6 ms/step uniform — ~4.7 us/grid-step against 1.6 us of DMA, i.e.
+  grid-step overhead bound, 3x off XLA.
+- The ragged-length play (scalar-prefetched lengths CLAMP the KV block index
+  so revisited blocks skip their copy) returned 32.5 ms vs the ~9.4 ms a true
+  4.1x byte reduction implies: Mosaic did not elide the revisited-block
+  copies under a prefetch-driven dynamic index map, only the @pl.when compute.
+
+Conclusion: on this toolchain a hand kernel cannot beat XLA's fused decode
+attention at uniform lengths (roofline is roofline), and the ragged win needs
+copy elision that does not materialize. Revisit only with megacore-aware
+block scheduling or an int8/fp8-KV in-kernel dequant (fewer bytes is the one
+lever XLA cannot express for quantized caches with per-slot scales).
 
 Numerics: fp32 online softmax (same scheme as ops/flash_attention.py), output
 in the query dtype; supports GQA via query-head grouping.
@@ -36,16 +45,17 @@ def _decode_kernel(
     # scalar prefetch
     lens_ref,  # [B] int32 valid slots per row
     # blocks
-    q_ref,  # [1, 1, block_h, D]
-    k_ref,  # [1, 1, block_t, D]
-    v_ref,  # [1, 1, block_t, D]
-    o_ref,  # [1, 1, block_h, D]
-    m_scratch,  # [block_h, 128] f32
-    l_scratch,  # [block_h, 128] f32
-    acc_scratch,  # [block_h, D] f32
+    q_ref,  # [1, block_h, G, D]
+    k_ref,  # [1, block_h, block_t, D]
+    v_ref,  # [1, block_h, block_t, D]
+    o_ref,  # [1, block_h, G, D]
+    m_scratch,  # [block_h * G, 128] f32
+    l_scratch,  # [block_h * G, 128] f32
+    acc_scratch,  # [block_h * G, D] f32
     *,
     scale: float,
     block_t: int,
+    block_h: int,
 ):
     b = pl.program_id(0)
     t = pl.program_id(2)
@@ -62,12 +72,16 @@ def _decode_kernel(
 
     @pl.when(t < n_valid)
     def _run():
-        q = q_ref[0, 0]  # [block_h, D] — the grouped query heads of this kv head
-        k = k_ref[0, 0]  # [block_t, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_h, block_t]
-        s = s * scale
+        rows = m_scratch.shape[0]  # block_h * G query rows
+        g = rows // block_h
+        # batched over the head-block axis: one MXU pass per kv head
+        q = q_ref[0]  # [block_h, G, D]
+        k = k_ref[0]  # [block_h, block_t, D]
+        s3 = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [block_h, G, block_t]
+        s = s3.reshape(rows, block_t) * scale
         pos = t * block_t + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < length, s, MASK_VALUE)
 
@@ -80,21 +94,26 @@ def _decode_kernel(
         l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scratch[...] = m_next
 
-        v = v_ref[0, 0]  # [block_t, D]
-        o_curr = jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        v = v_ref[0]  # [block_h, block_t, D]
+        p3 = p.reshape(block_h, g, block_t).astype(v.dtype)
+        o3 = jax.lax.dot_general(
+            p3, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [block_h, G, D]
+        acc_scratch[...] = (
+            acc_scratch[...] * alpha[:, :1] + o3.reshape(rows, -1)
         )
-        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + o_curr
 
     @pl.when(t == nt - 1)
     def _store():
         l = l_scratch[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        out = acc_scratch[...] * l_inv
+        o_ref[0] = out.reshape(o_ref.shape[1:]).astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_t", "interpret")
+    jax.jit, static_argnames=("scale", "block_t", "block_h", "interpret")
 )
 def _decode_pallas(
     q: jnp.ndarray,  # [B, H_kv, G, D] queries grouped per kv head
@@ -104,11 +123,15 @@ def _decode_pallas(
     *,
     scale: float,
     block_t: int,
+    block_h: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, hkv, g, d = q.shape
     t = k.shape[2]
     nt = pl.cdiv(t, block_t)
+    bh = min(block_h, hkv)
+    while hkv % bh:
+        bh -= 1
 
     def q_map(bi, hi, ti, lens):
         return (bi, hi, 0, 0)
@@ -121,20 +144,22 @@ def _decode_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, hkv, nt),
+        grid=(b, hkv // bh, nt),
         in_specs=[
-            pl.BlockSpec((1, 1, g, d), q_map),
-            pl.BlockSpec((1, 1, block_t, d), kv_map),
-            pl.BlockSpec((1, 1, block_t, d), kv_map),
+            pl.BlockSpec((1, bh, g, d), q_map),
+            pl.BlockSpec((1, bh, block_t, d), kv_map),
+            pl.BlockSpec((1, bh, block_t, d), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), q_map),
+        out_specs=pl.BlockSpec((1, bh, g, d), q_map),
         scratch_shapes=[
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((bh * g, 128), jnp.float32),
+            pltpu.VMEM((bh * g, 128), jnp.float32),
+            pltpu.VMEM((bh * g, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_decode_kernel, scale=scale, block_t=block_t)
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, block_t=block_t, block_h=bh
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
