@@ -119,6 +119,19 @@ class _Request:
     error: Optional[str] = None
     slot: int = -1
     remaining: int = 0
+    # streaming: new tokens are pushed per chunk; None terminates the stream
+    stream_q: Optional["queue.Queue"] = None
+    _streamed: int = 0
+
+    def _push_stream(self, final: bool = False):
+        if self.stream_q is None:
+            return
+        fresh = self.tokens[self._streamed:]
+        if fresh:
+            self.stream_q.put(fresh)
+            self._streamed = len(self.tokens)
+        if final:
+            self.stream_q.put(None)
 
 
 class BatchEngine:
@@ -158,6 +171,31 @@ class BatchEngine:
                gen: Optional[GenerationConfig] = None) -> List[int]:
         """Enqueue one request; blocks until done; returns generated ids."""
         gen = gen or GenerationConfig()
+        req = self._make_request(input_ids, pixel_values, gen)
+        self._queue.put(req)
+        req.event.wait()
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.tokens
+
+    def submit_stream(self, input_ids: Sequence[int],
+                      pixel_values: Optional[np.ndarray] = None,
+                      gen: Optional[GenerationConfig] = None):
+        """Enqueue one request; yields lists of fresh token ids per decode
+        chunk as they are produced (SSE-friendly). Raises on request error."""
+        gen = gen or GenerationConfig()
+        req = self._make_request(input_ids, pixel_values, gen)
+        req.stream_q = queue.Queue()
+        self._queue.put(req)
+        while True:
+            item = req.stream_q.get()
+            if item is None:
+                break
+            yield item
+        if req.error:
+            raise RuntimeError(req.error)
+
+    def _make_request(self, input_ids, pixel_values, gen) -> _Request:
         fused_len = len(input_ids) + sum(
             1 for t in input_ids if t == fusion_mod.IMAGE_TOKEN_INDEX
         ) * (self.model.tokens_per_frame - 1)
@@ -166,16 +204,11 @@ class BatchEngine:
                 f"prompt ({fused_len} fused tokens) + max_new_tokens "
                 f"({gen.max_new_tokens}) exceeds engine max_len {self.max_len}"
             )
-        req = _Request(
+        return _Request(
             input_ids=list(input_ids), pixel_values=pixel_values, gen=gen,
             stop_strings=gen.stop_strings or (), event=threading.Event(),
             remaining=gen.max_new_tokens,
         )
-        self._queue.put(req)
-        req.event.wait()
-        if req.error:
-            raise RuntimeError(req.error)
-        return req.tokens
 
     # ------------------------------------------------------------- engine
     def start(self):
@@ -224,6 +257,7 @@ class BatchEngine:
             except Exception as e:  # noqa: BLE001 — surfaced to the caller
                 self._slots[slot] = None
                 req.error = f"{type(e).__name__}: {e}"
+                req._push_stream(final=True)
                 req.event.set()
             block = False
         return admitted
@@ -269,6 +303,7 @@ class BatchEngine:
         self._do_sample[slot] = req.gen.do_sample
         req.tokens.append(tok_i)
         req.remaining -= 1
+        req._push_stream()
         self._finish_if_done(req, slot)
 
     def _run_chunk(self):
@@ -286,8 +321,10 @@ class BatchEngine:
             jnp.asarray(cfg.llm.pad_token_id, jnp.int32),
         )
         toks = np.asarray(toks)
-        self._positions = np.asarray(pos_out)
-        self._last_tokens = toks[:, -1]
+        # np.array (copy): np.asarray of a jax array is READ-ONLY, which would
+        # break the next slot prefill's in-place position update
+        self._positions = np.array(pos_out)
+        self._last_tokens = np.array(toks[:, -1])
         self.stats["chunks"] += 1
         for slot, req in enumerate(self._slots):
             if req is None:
@@ -300,6 +337,7 @@ class BatchEngine:
                 if int(t) == cfg.llm.eos_token_id or self._hit_stop(req):
                     req.remaining = 0
                     break
+            req._push_stream()
             self._finish_if_done(req, slot)
 
     def _hit_stop(self, req: _Request) -> bool:
@@ -318,4 +356,5 @@ class BatchEngine:
             self._slots[slot] = None
             self._temperature[slot] = 0.0
             self._do_sample[slot] = False
+            req._push_stream(final=True)
             req.event.set()

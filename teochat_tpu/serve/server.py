@@ -115,6 +115,59 @@ class ChatServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _send_sse(self, payload):
+                """Server-sent events: one `data:` event per decode chunk with
+                the fresh token ids + full text so far, then `data: [DONE]`.
+                Only available in engine mode (the chunked decode loop yields
+                tokens incrementally; the single-program while_loop cannot)."""
+                from teochat_tpu.config import GenerationConfig
+                from teochat_tpu.serve.chat import build_request
+
+                chat = server.chat
+                try:
+                    images = _decode_images(payload.get("images", []))
+                    input_ids, pixel_values, stop_str, _ = build_request(
+                        payload["prompt"], images, chat.tokenizer,
+                        chat.processor, conv_mode=chat.conv_mode,
+                        timestamps=payload.get("timestamps", []),
+                        bbox=payload.get("bbox"),
+                    )
+                except Exception as e:  # noqa: BLE001 — HTTP 400
+                    return self._send(400, {"error": str(e)})
+                temperature = float(payload.get("temperature", 0.2))
+                gen = GenerationConfig(
+                    max_new_tokens=int(payload.get("max_new_tokens", 256)),
+                    temperature=temperature,
+                    do_sample=temperature > 0,
+                    stop_strings=(stop_str,),
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                tokens = []
+                try:
+                    for fresh in server.engine.submit_stream(
+                        input_ids, pixel_values, gen
+                    ):
+                        tokens.extend(fresh)
+                        event = {
+                            "token_ids": fresh,
+                            "text": chat.tokenizer.decode(tokens)
+                            .replace("</s>", "").strip(),
+                        }
+                        self.wfile.write(
+                            f"data: {json.dumps(event)}\n\n".encode()
+                        )
+                        self.wfile.flush()
+                    self.wfile.write(b"data: [DONE]\n\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away; engine still drains the request
+                except RuntimeError as e:
+                    self.wfile.write(
+                        f"data: {json.dumps({'error': str(e)})}\n\n".encode()
+                    )
+
             def do_GET(self):
                 if self.path == "/health":
                     self._send(200, {"status": "ok"})
@@ -132,6 +185,8 @@ class ChatServer:
                 except (ValueError, json.JSONDecodeError) as e:
                     return self._send(400, {"error": f"bad request: {e}"})
                 if server.engine is not None:
+                    if payload.get("stream"):
+                        return self._send_sse(payload)
                     try:
                         return self._send(200, server._engine_generate(payload))
                     except Exception as e:  # noqa: BLE001 — HTTP 400

@@ -126,3 +126,55 @@ def test_http_concurrent_streams(model):
     finally:
         srv.shutdown()
         engine.shutdown()
+
+
+def test_engine_submit_stream_matches_blocking(model):
+    from teochat_tpu.serve.engine import BatchEngine as BE
+
+    gen = GenerationConfig(max_new_tokens=6, temperature=0.0, do_sample=False,
+                           stop_strings=())
+    ids = [1, 7, 8, 9]
+    engine = BE(model, max_slots=2, max_len=64, chunk=2).start()
+    try:
+        blocking = engine.submit(ids, None, gen)
+        chunks = list(engine.submit_stream(ids, None, gen))
+        assert len(chunks) >= 2  # incremental, not one blob
+        assert [t for c in chunks for t in c] == blocking
+    finally:
+        engine.shutdown()
+
+
+def test_http_sse_stream(model):
+    from teochat_tpu.serve.chat import Chat
+    from teochat_tpu.serve.server import ChatServer
+
+    chat = Chat(model_bundle=(model.tokenizer, model, ImageProcessor(size=28)))
+    engine = BatchEngine(model, max_slots=2, max_len=128, chunk=2).start()
+    srv = ChatServer(chat, host="127.0.0.1", port=0, engine=engine)
+    srv.start_background()
+    try:
+        port = srv._httpd.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({
+                "prompt": "Describe.", "images": [], "stream": True,
+                "temperature": 0.0, "max_new_tokens": 6,
+            }).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        events = []
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            for raw in r:
+                line = raw.decode().strip()
+                if line.startswith("data: "):
+                    events.append(line[len("data: "):])
+        assert events[-1] == "[DONE]"
+        payloads = [json.loads(e) for e in events[:-1]]
+        assert len(payloads) >= 2
+        n_tokens = sum(len(p["token_ids"]) for p in payloads)
+        assert 1 <= n_tokens <= 6
+        assert isinstance(payloads[-1]["text"], str)
+    finally:
+        srv.shutdown()
+        engine.shutdown()
