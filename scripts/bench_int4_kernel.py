@@ -1,0 +1,415 @@
+"""Micro-harness: int4 fused-dequant matmul unpack variants on the real TPU.
+
+The int4 decode path is VPU-unpack-bound (TODO.md): at bs=1 the tiled kernel
+matches int8 (98 tok/s) instead of approaching the 2x weight-byte win. This
+harness times unpack strategies on a representative decode projection
+(gate: [1, 4096] x [4096, 11008]) by scanning N dependent kernel calls inside
+one jit (amortizes the ~2 ms tunnel floor; the data dependency defeats
+loop-invariant hoisting).
+
+Variants:
+  v0        current production kernel (ops/int4_matmul.int4_matmul_tiled):
+            widen u8->i32, mask, shift, two i32->bf16 converts  (~5 VPU
+            ops/byte)
+  v2_byte   byte-reuse: y = xa @ lo + xb @ byte with xa = x_lo - x_hi/16,
+            xb = x_hi/16 (exact in bf16 up to one rounding on the subtract);
+            drops the shift + one convert (~4 ops/byte)
+  v1_words  weights stored as i32 words (4 bytes each): mask 4 nibbles per
+            op (0x0F0F0F0F), then bitcast back to bytes and convert
+            (~2.75 ops/byte if Mosaic lowers the bitcast/reshape cheaply)
+  dma_only  no unpack, one dot against the raw bytes — upper bound set by
+            HBM traffic + single-matmul MXU time
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_int4_kernel.py
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from teochat_tpu.ops.int4_matmul import (
+    TILE_BN,
+    int4_matmul_tiled,
+    pack_int4,
+    pack_int4_tiled,
+    unpack_int4_halves,
+)
+
+K, N = 4096, 11008
+M = 1
+ITERS = 400
+
+
+# ------------------------------------------------------------------ v2: byte-reuse
+def _v2_kernel(xa_ref, xb_ref, packed_ref, scale_ref, o_ref, acc_ref, *, n_k):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p32 = packed_ref[0].astype(jnp.int32)
+    lo = (p32 & 0xF).astype(xa_ref.dtype)
+    byte = p32.astype(xa_ref.dtype)
+    xa = xa_ref[...]
+    xb = xb_ref[...]
+    acc_ref[...] += jax.lax.dot(xa, lo, preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot(xb, byte, preferred_element_type=jnp.float32)
+    # nibbles store v+8; byte = lo_n + 16*hi_n. Derivation (harness docstring):
+    # correction = -8*(rowsum(xa) + 17*rowsum(xb))
+    corr = 8.0 * (
+        jnp.sum(xa.astype(jnp.float32), axis=1)
+        + 17.0 * jnp.sum(xb.astype(jnp.float32), axis=1)
+    )
+    acc_ref[...] -= corr[:, None]
+
+    @pl.when(k_idx == n_k - 1)
+    def _store():
+        o_ref[0] = (acc_ref[...] * scale_ref[0, 0].astype(jnp.float32)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "block_k2"))
+def v2_matmul(x, packed_tiles, scale, *, n_out, block_k2=512):
+    m, k = x.shape
+    n_tiles, k2, bn = packed_tiles.shape
+    m_pad = max(8, ((m + 7) // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    x_lo, x_hi = x[:, :k2], x[:, k2:]
+    xb = (x_hi.astype(jnp.float32) / 16.0).astype(x.dtype)
+    xa = (x_lo.astype(jnp.float32) - xb.astype(jnp.float32)).astype(x.dtype)
+    bk2 = min(block_k2, k2)
+    n_k = pl.cdiv(k2, bk2)
+
+    out = pl.pallas_call(
+        functools.partial(_v2_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, m_pad, bn), x.dtype),
+        grid=(n_tiles, n_k),
+        in_specs=[
+            pl.BlockSpec((m_pad, bk2), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((m_pad, bk2), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((1, bk2, bn), lambda ni, ki: (ni, ki, 0)),
+            pl.BlockSpec((1, 1, bn), lambda ni, ki: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, bn), lambda ni, ki: (ni, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(xa, xb, packed_tiles, scale.reshape(n_tiles, 1, bn))
+    y = out.transpose(1, 0, 2).reshape(m_pad, n_tiles * bn)
+    return y[:m, :n_out]
+
+
+# ------------------------------------------------- v3: i8 storage, direct converts
+def pack_int4_i8(w_q, bn=TILE_BN):
+    """[K, N] int4 -> [n_tiles, K/2, bn] int8 where b = (L+8) + 16*H.
+
+    L (lo half, rows [0,K/2)) is stored biased to [0,15] in the low nibble;
+    H (hi half) is stored as SIGNED [-8,7] in the high nibble, so the byte
+    fits int8 exactly and converts to bf16 in one op (no widen)."""
+    k = w_q.shape[-2]
+    lo = np.asarray(w_q[..., : k // 2, :], np.int32) + 8
+    hi = np.asarray(w_q[..., k // 2 :, :], np.int32)
+    b = (lo + 16 * hi).astype(np.int8)  # [K/2, N]
+    k2, n = b.shape
+    n_pad = ((n + bn - 1) // bn) * bn
+    if n_pad != n:
+        b = np.pad(b, ((0, 0), (0, n_pad - n)))
+    return jnp.asarray(b.reshape(k2, n_pad // bn, bn).transpose(1, 0, 2))
+
+
+def _v3_kernel(xa_ref, xb_ref, packed_ref, scale_ref, o_ref, acc_ref,
+               *, n_k, mask_dtype):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    b = packed_ref[0]  # [bk2, bn] i8 = (L+8) + 16*H
+    byte = b.astype(xa_ref.dtype)  # direct i8 -> bf16
+    lo = (b.astype(mask_dtype) & 0xF).astype(xa_ref.dtype)  # (L+8), >= 0
+    xa = xa_ref[...]
+    xb = xb_ref[...]
+    # y = xa @ (L+8) + xb @ b - 8*rowsum(x_lo);  x_lo = xa + xb
+    acc_ref[...] += jax.lax.dot(xa, lo, preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot(xb, byte, preferred_element_type=jnp.float32)
+    corr = 8.0 * jnp.sum(
+        xa.astype(jnp.float32) + xb.astype(jnp.float32), axis=1
+    )
+    acc_ref[...] -= corr[:, None]
+
+    @pl.when(k_idx == n_k - 1)
+    def _store():
+        o_ref[0] = (acc_ref[...] * scale_ref[0, 0].astype(jnp.float32)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "block_k2", "mask_dtype"))
+def v3_matmul(x, packed_i8, scale, *, n_out, block_k2=512, mask_dtype=jnp.int32):
+    m, k = x.shape
+    n_tiles, k2, bn = packed_i8.shape
+    m_pad = max(8, ((m + 7) // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    x_lo, x_hi = x[:, :k2], x[:, k2:]
+    xb = (x_hi.astype(jnp.float32) / 16.0).astype(x.dtype)
+    xa = (x_lo.astype(jnp.float32) - xb.astype(jnp.float32)).astype(x.dtype)
+    bk2 = min(block_k2, k2)
+    n_k = pl.cdiv(k2, bk2)
+
+    out = pl.pallas_call(
+        functools.partial(_v3_kernel, n_k=n_k, mask_dtype=mask_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, m_pad, bn), x.dtype),
+        grid=(n_tiles, n_k),
+        in_specs=[
+            pl.BlockSpec((m_pad, bk2), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((m_pad, bk2), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((1, bk2, bn), lambda ni, ki: (ni, ki, 0)),
+            pl.BlockSpec((1, 1, bn), lambda ni, ki: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, bn), lambda ni, ki: (ni, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(xa, xb, packed_i8, scale.reshape(n_tiles, 1, bn))
+    y = out.transpose(1, 0, 2).reshape(m_pad, n_tiles * bn)
+    return y[:m, :n_out]
+
+
+# ------------------------------------------------ vpu probe: unpack, no dots
+def _vpu_kernel(packed_ref, o_ref, acc_ref, *, n_k):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = packed_ref[0].astype(jnp.int32)
+    lo = ((p & 0xF) - 8).astype(jnp.bfloat16)
+    hi = ((p >> 4) - 8).astype(jnp.bfloat16)
+    # cheap reduction so nothing is dead-code eliminated (sum over sublanes)
+    acc_ref[...] += (
+        jnp.sum(lo.astype(jnp.float32), axis=0, keepdims=True)
+        + jnp.sum(hi.astype(jnp.float32), axis=0, keepdims=True)
+    )
+
+    @pl.when(k_idx == n_k - 1)
+    def _store():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k2",))
+def vpu_only(packed_tiles, *, block_k2=512):
+    n_tiles, k2, bn = packed_tiles.shape
+    bk2 = min(block_k2, k2)
+    n_k = pl.cdiv(k2, bk2)
+    out = pl.pallas_call(
+        functools.partial(_vpu_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, bn), jnp.float32),
+        grid=(n_tiles, n_k),
+        in_specs=[pl.BlockSpec((1, bk2, bn), lambda ni, ki: (ni, ki, 0))],
+        out_specs=pl.BlockSpec((1, 8, bn), lambda ni, ki: (ni, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((8, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(packed_tiles)
+    return out.sum()
+
+
+# ------------------------------------------------------------- dma_only bound
+def _dma_kernel(x_lo_ref, packed_ref, o_ref, acc_ref, *, n_k):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    byte = packed_ref[0].astype(jnp.int32).astype(x_lo_ref.dtype)
+    acc_ref[...] += jax.lax.dot(
+        x_lo_ref[...], byte, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k_idx == n_k - 1)
+    def _store():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "block_k2"))
+def dma_only_matmul(x, packed_tiles, *, n_out, block_k2=512):
+    m, k = x.shape
+    n_tiles, k2, bn = packed_tiles.shape
+    m_pad = max(8, ((m + 7) // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    bk2 = min(block_k2, k2)
+    n_k = pl.cdiv(k2, bk2)
+    out = pl.pallas_call(
+        functools.partial(_dma_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, m_pad, bn), x.dtype),
+        grid=(n_tiles, n_k),
+        in_specs=[
+            pl.BlockSpec((m_pad, bk2), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((1, bk2, bn), lambda ni, ki: (ni, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, bn), lambda ni, ki: (ni, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(x[:, :k2], packed_tiles)
+    y = out.transpose(1, 0, 2).reshape(m_pad, n_tiles * bn)
+    return y[:m, :n_out]
+
+
+# ----------------------------------------------------------------- harness
+def time_variant(name, call, x0):
+    """Scan ITERS dependent calls; returns ms/call."""
+
+    @jax.jit
+    def loop(x):
+        def body(xc, _):
+            y = call(xc)  # [M, N]
+            # dependency: fold a tiny slice of y back into x (defeats hoisting)
+            xn = xc + y[:, : xc.shape[1]].astype(xc.dtype) * jnp.bfloat16(1e-30)
+            return xn, ()
+
+        xf, _ = jax.lax.scan(body, x, None, length=ITERS)
+        return xf.sum()
+
+    r = loop(x0)
+    r.block_until_ready()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        loop(x0).block_until_ready()
+        times.append((time.perf_counter() - t0) / ITERS)
+    ms = sorted(times)[1] * 1e3
+    gbs = (K / 2 * N) / (ms * 1e-3) / 1e9
+    print(f"{name:10s} {ms:7.3f} ms/call   {gbs:6.1f} GB/s effective")
+    return ms
+
+
+def stage2():
+    """Separate per-call overhead from per-byte DMA rate."""
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    rng = np.random.RandomState(0)
+    w_q = jnp.asarray(rng.randint(-8, 8, size=(K, N)), jnp.int8)
+    w_q2 = jnp.asarray(rng.randint(-8, 8, size=(K, N)), jnp.int8)
+    scale_full = jnp.asarray(rng.rand(N).astype(np.float32) * 0.01)
+    x = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
+
+    tiles = pack_int4_tiled(w_q)
+    tiles2 = pack_int4_tiled(w_q2)
+    nt = tiles.shape[0]
+    sp = jnp.pad(scale_full, (0, nt * TILE_BN - N))
+
+    # XLA int8 weight-only matmul, same harness (production path shape)
+    w_i8 = w_q  # reuse int4 values as int8 weights; same bytes as real int8
+    def xla_int8(xx):
+        y = jnp.einsum("md,dn->mn", xx, w_i8.astype(xx.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * scale_full).astype(xx.dtype)
+
+    time_variant("xla_int8 (45 MB)", xla_int8, x)
+
+    # XLA int4: unpack + matmul (the 13x-slower baseline, for context)
+    packed_flat = pack_int4(w_q)
+    def xla_int4(xx):
+        w = unpack_int4_halves(packed_flat, xx.dtype)
+        y = jnp.einsum("md,dn->mn", xx, w, preferred_element_type=jnp.float32)
+        return (y * scale_full).astype(xx.dtype)
+
+    time_variant("xla_int4 (unpack)", xla_int4, x)
+
+    # pallas x1 vs x2 calls per iteration: marginal = per-byte cost
+    time_variant("pallas x1", lambda xx: int4_matmul_tiled(xx, tiles, sp, n_out=N), x)
+
+    def two_calls(xx):
+        y1 = int4_matmul_tiled(xx, tiles, sp, n_out=N)
+        y2 = int4_matmul_tiled(xx, tiles2, sp, n_out=N)
+        return y1 + y2
+
+    time_variant("pallas x2", two_calls, x)
+
+    # bigger M (decode bs=8 shape)
+    x8 = jnp.asarray(rng.randn(8, K), jnp.bfloat16)
+    time_variant("pallas m=8", lambda xx: int4_matmul_tiled(xx, tiles, sp, n_out=N), x8)
+
+
+def main():
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+    rng = np.random.RandomState(0)
+    w_q = jnp.asarray(rng.randint(-8, 8, size=(K, N)), jnp.int8)
+    scale_full = jnp.asarray(rng.rand(N).astype(np.float32) * 0.01)
+    x = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
+
+    tiles = pack_int4_tiled(w_q)
+    tiles_i8 = pack_int4_i8(w_q)
+    n_tiles = tiles.shape[0]
+    scale_pad = jnp.pad(scale_full, (0, n_tiles * TILE_BN - N))
+
+    # correctness probe vs XLA unpack
+    ref = (
+        x.astype(jnp.float32)
+        @ unpack_int4_halves(pack_int4(w_q), jnp.float32)
+        * scale_full
+    )
+    variants = [
+        ("v0", lambda xx: int4_matmul_tiled(xx, tiles, scale_pad, n_out=N)),
+        ("v2_byte", lambda xx: v2_matmul(xx, tiles, scale_pad, n_out=N)),
+        ("v3_i8", lambda xx: v3_matmul(xx, tiles_i8, scale_pad, n_out=N)),
+        ("v3_i8_m16", lambda xx: v3_matmul(
+            xx, tiles_i8, scale_pad, n_out=N, mask_dtype=jnp.int16)),
+    ]
+    for name, fn in variants:
+        got = fn(x).astype(jnp.float32)
+        err = jnp.max(jnp.abs(got - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9)
+        print(f"{name:10s} rel_err={float(err):.2e}")
+
+    time_variant("dma_only", lambda xx: dma_only_matmul(xx, tiles, n_out=N), x)
+    for name, fn in variants:
+        time_variant(name, fn, x)
+
+    # block-size sweep: fewer, larger grid cells (per-cell overhead suspect)
+    for bn_tile in (512, 1024, 2048):
+        tiles_b = pack_int4_tiled(w_q, bn_tile)
+        tiles_i8_b = pack_int4_i8(w_q, bn_tile)
+        nt = tiles_b.shape[0]
+        sp = jnp.pad(scale_full, (0, nt * bn_tile - N))
+        for bk2 in (512, 1024, 2048):
+            cells = nt * max(1, (K // 2) // bk2)
+            time_variant(
+                f"v0 bn={bn_tile} bk2={bk2} cells={cells}",
+                lambda xx, t=tiles_b, s=sp, b=bk2: int4_matmul_tiled(
+                    xx, t, s, n_out=N, block_k2=b),
+                x,
+            )
+            time_variant(
+                f"v3 bn={bn_tile} bk2={bk2} cells={cells}",
+                lambda xx, t=tiles_i8_b, s=sp, b=bk2: v3_matmul(
+                    xx, t, s, n_out=N, block_k2=b),
+                x,
+            )
+
+
+if __name__ == "__main__":
+    import sys
+    stage2() if "--stage2" in sys.argv else main()

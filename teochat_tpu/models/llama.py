@@ -72,11 +72,11 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
 
 
-def _proj(x: jnp.ndarray, p: Params, act_quant: bool = False) -> jnp.ndarray:
+def _proj(x: jnp.ndarray, p: Params, act_quant: bool = False, layer=None) -> jnp.ndarray:
     if "packed" in p or "packed_tiles" in p:  # int4 w4a16 (ops/quant.py)
         from teochat_tpu.ops.quant import int4_proj
 
-        y = int4_proj(x, p)
+        y = int4_proj(x, p, layer)
     elif "scale" in p:  # int8 weight-only path (ops/quant.py)
         if act_quant:  # w8a8 prefill: int8 MXU at 2x bf16 rate
             from teochat_tpu.ops.quant import quantized_proj_act_i8
@@ -131,9 +131,22 @@ def _attention_layer(
     """
     b, s, _ = x.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = _proj(x, lp["q"], act_quant).reshape(b, s, h, hd)
-    k = _proj(x, lp["k"], act_quant).reshape(b, s, hkv, hd)
-    v = _proj(x, lp["v"], act_quant).reshape(b, s, hkv, hd)
+    if "qkv" in lp:
+        # fused q|k|v projection (ops/quant.py fuse_projections): one weight
+        # read / one kernel launch instead of three
+        fused = _proj(x, lp["qkv"], act_quant, layer)
+        q = fused[..., : h * hd]
+        k = fused[..., h * hd : (h + hkv) * hd]
+        v = fused[..., (h + hkv) * hd :]
+        q, k, v = (
+            q.reshape(b, s, h, hd),
+            k.reshape(b, s, hkv, hd),
+            v.reshape(b, s, hkv, hd),
+        )
+    else:
+        q = _proj(x, lp["q"], act_quant, layer).reshape(b, s, h, hd)
+        k = _proj(x, lp["k"], act_quant, layer).reshape(b, s, hkv, hd)
+        v = _proj(x, lp["v"], act_quant, layer).reshape(b, s, hkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -208,14 +221,19 @@ def _attention_layer(
                 q, kl.astype(q.dtype), vl.astype(q.dtype), mask=mask
             )
     out = out.reshape(b, s, h * hd)
-    return _proj(out, lp["out"], act_quant), k_cache, v_cache
+    return _proj(out, lp["out"], act_quant, layer), k_cache, v_cache
 
 
-def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False) -> jnp.ndarray:
-    gate = jax.nn.silu(
-        _proj(x, lp["gate"], act_quant).astype(jnp.float32)
-    ).astype(x.dtype)
-    return _proj(gate * _proj(x, lp["up"], act_quant), lp["down"], act_quant)
+def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False, layer=None) -> jnp.ndarray:
+    if "gateup" in lp:  # fused gate|up (ops/quant.py fuse_projections)
+        gu = _proj(x, lp["gateup"], act_quant, layer)
+        i_sz = gu.shape[-1] // 2
+        gate_in, up = gu[..., :i_sz], gu[..., i_sz:]
+    else:
+        gate_in = _proj(x, lp["gate"], act_quant, layer)
+        up = _proj(x, lp["up"], act_quant, layer)
+    gate = jax.nn.silu(gate_in.astype(jnp.float32)).astype(x.dtype)
+    return _proj(gate * up, lp["down"], act_quant, layer)
 
 
 def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
@@ -230,7 +248,7 @@ def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
     )
     x = x + attn_out
     y = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
-    return x + _mlp(y, lp["mlp"], act_quant), k_cache, v_cache
+    return x + _mlp(y, lp["mlp"], act_quant, layer), k_cache, v_cache
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
@@ -296,12 +314,21 @@ def llama_forward(
         # per-layer params come from a fused dynamic slice (same access
         # pattern scan generates) and cache updates are in-place scatters.
         # scan-with-ys would re-stack (copy) both full cache buffers per call.
+        def _slice_layer(tree, l):
+            # Slice per-layer params EXCEPT int4 packed groups: a dynamic
+            # slice feeding a pallas custom call materializes the whole
+            # layer's weights (no fusion across custom-call boundaries);
+            # those stay stacked and the kernel selects the layer itself
+            # via scalar prefetch (ops/int4_matmul.int4_matmul_tiled_stacked).
+            if isinstance(tree, dict):
+                if "packed" in tree or "packed_tiles" in tree:
+                    return tree
+                return {k: _slice_layer(v, l) for k, v in tree.items()}
+            return jax.lax.dynamic_index_in_dim(tree, l, 0, keepdims=False)
+
         def body(l, carry):
             y, kc, vc = carry
-            lp = jax.tree.map(
-                lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
-                params["layers"],
-            )
+            lp = _slice_layer(params["layers"], l)
             y, kc, vc = layer_fn(
                 y, lp, cfg, cos, sin, kv_mask, q_slots, kc, vc, write_slots,
                 False, l, cache_row_offset,

@@ -222,3 +222,122 @@ def int4_matmul_tiled(
     # [n_tiles, m_pad, bn] -> [m_pad, n_tiles*bn] -> slice
     y = out.transpose(1, 0, 2).reshape(m_pad, n_tiles * bn)
     return y[:m, :n_out]
+
+
+# ---------------------------------------------------- layer-stacked variant
+#
+# Models scan/fori over stacked per-layer params. An XLA dynamic-slice of a
+# stacked weight CANNOT fuse into a pallas custom call (it fuses fine into an
+# XLA einsum), so slicing a layer's int4 tiles in the loop body materializes
+# a full copy of that layer's weights EVERY STEP — measured at ~40% of the
+# whole int4 decode step (scripts/profile_decode.py, hlo_stats:
+# dynamic-slice_bitcast_fusion ~4.5 ms/step vs kernels ~5.4 ms). This variant
+# takes the FULL [L, n_tiles, K/2, bn] buffer plus the layer index as a
+# scalar-prefetch operand and block-indexes the layer inside the kernel: the
+# DMA engine reads only the selected layer's blocks straight from HBM.
+
+
+def _int4_tiled_kernel_stacked(layer_ref, x_lo_ref, x_hi_ref, packed_ref,
+                               scale_ref, o_ref, acc_ref, *, n_k: int):
+    del layer_ref  # consumed by the index maps
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = packed_ref[0, 0].astype(jnp.int32)  # [bk2, bn]
+    lo = (p & 0xF).astype(x_lo_ref.dtype)
+    hi = (p >> 4).astype(x_lo_ref.dtype)
+    x_lo = x_lo_ref[...]
+    x_hi = x_hi_ref[...]
+    acc_ref[...] += jax.lax.dot(x_lo, lo, preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot(x_hi, hi, preferred_element_type=jnp.float32)
+    corr = 8.0 * (
+        jnp.sum(x_lo.astype(jnp.float32), axis=1)
+        + jnp.sum(x_hi.astype(jnp.float32), axis=1)
+    )
+    acc_ref[...] -= corr[:, None]
+
+    @pl.when(k_idx == n_k - 1)
+    def _store():
+        o_ref[0] = (
+            acc_ref[...] * scale_ref[0, 0, 0].astype(jnp.float32)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "block_k2", "interpret"))
+def int4_matmul_tiled_stacked(
+    x: jnp.ndarray,  # [M, K]
+    packed_tiles: jnp.ndarray,  # [L, n_tiles, K/2, bn]
+    scale: jnp.ndarray,  # [L, n_tiles * bn] f32 (padded)
+    layer,  # scalar int32
+    *,
+    n_out: int,
+    block_k2: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y[:, :n_out] = (x @ unpack(packed[layer])) * scale[layer].
+
+    No XLA-level layer slice: the layer index rides a scalar-prefetch operand
+    and only the selected layer's blocks are DMA'd."""
+    m, k = x.shape
+    n_layers, n_tiles, k2, bn = packed_tiles.shape
+    assert k == 2 * k2
+
+    m_pad = max(8, ((m + 7) // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    bk2 = min(block_k2, k2)
+    n_k = pl.cdiv(k2, bk2)
+    k2_blocks = k2 // bk2
+
+    def x_lo_map(ni, ki, layer_s):
+        return (0, ki)
+
+    def x_hi_map(ni, ki, layer_s, _o=k2_blocks):
+        return (0, ki + _o)
+
+    def packed_map(ni, ki, layer_s):
+        return (layer_s[0], ni, ki, 0)
+
+    def scale_map(ni, ki, layer_s):
+        return (layer_s[0], ni, 0, 0)
+
+    def out_map(ni, ki, layer_s):
+        return (ni, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, n_k),
+        in_specs=[
+            pl.BlockSpec((m_pad, bk2), x_lo_map),
+            pl.BlockSpec((m_pad, bk2), x_hi_map),
+            pl.BlockSpec((1, 1, bk2, bn), packed_map),
+            pl.BlockSpec((1, 1, 1, bn), scale_map),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, bn), out_map),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_int4_tiled_kernel_stacked, n_k=n_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, m_pad, bn), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n_tiles * bn,
+            bytes_accessed=n_tiles * k2 * bn + m_pad * k * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x,
+        x,
+        packed_tiles,
+        scale.reshape(n_layers, n_tiles, 1, bn),
+    )
+    y = out.transpose(1, 0, 2).reshape(m_pad, n_tiles * bn)
+    return y[:m, :n_out]

@@ -77,28 +77,75 @@ def quantized_proj_act_i8(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndar
     return y.astype(x.dtype)
 
 
-def _int4_proj_tiled(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    from teochat_tpu.ops.int4_matmul import int4_matmul_tiled, unpack_int4_halves
+def _int4_proj_tiled(
+    x: jnp.ndarray, p: Dict[str, jnp.ndarray], layer=None
+) -> jnp.ndarray:
+    from teochat_tpu.ops.int4_matmul import (
+        int4_matmul_tiled,
+        int4_matmul_tiled_stacked,
+        unpack_int4_halves,
+    )
 
     tiles, scale = p["packed_tiles"], p["scale"]
     n_tiles, k2, bn = tiles.shape[-3:]
-    n = n_tiles * bn
+    n_pad = n_tiles * bn
+    n_out = scale.shape[-1]  # true (unpadded) output width
+    if jax.default_backend() == "tpu" and tiles.ndim == 4 and layer is not None:
+        # layer-stacked path: the kernel block-indexes the layer via scalar
+        # prefetch — an XLA dynamic-slice would materialize the whole layer's
+        # weights every call (measured ~40% of the int4 decode step)
+        m_pad = max(8, ((x.size // (2 * k2) + 7) // 8) * 8)
+
+        def vmem(bk2):
+            return 4 * m_pad * bk2 + 5 * bk2 * bn + 6 * m_pad * bn
+
+        cap = int(_os.environ.get("TEOCHAT_INT4_BK2", "8192"))
+        candidates = [k2] + [b for b in (2048, 1024, 512, 256, 128) if k2 % b == 0]
+        bk2 = next(
+            (b for b in candidates if b <= cap and vmem(b) <= 8 * 1024 * 1024),
+            128,
+        )
+        lead = x.shape[:-1]
+        scale_pad = (
+            jnp.pad(scale, ((0, 0), (0, n_pad - n_out)))
+            if n_pad != n_out
+            else scale
+        )
+        y = int4_matmul_tiled_stacked(
+            x.reshape(-1, 2 * k2), tiles, scale_pad, layer,
+            n_out=n_out, block_k2=bk2,
+        )
+        return y.reshape(*lead, n_out)
+    if tiles.ndim == 4:
+        # no layer context (or CPU): slice the layer first
+        if layer is not None:
+            tiles = jax.lax.dynamic_index_in_dim(tiles, layer, 0, keepdims=False)
+            scale = jax.lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
+            return _int4_proj_tiled(x, {"packed_tiles": tiles, "scale": scale})
     if jax.default_backend() == "tpu" and tiles.ndim == 3:
         m_pad = max(8, ((x.size // (2 * k2) + 7) // 8) * 8)
 
         def vmem(bk2):
             return 4 * m_pad * bk2 + 5 * bk2 * bn + 6 * m_pad * bn
 
+        cap = int(_os.environ.get("TEOCHAT_INT4_BK2", "8192"))
         candidates = [k2] + [b for b in (2048, 1024, 512, 256, 128) if k2 % b == 0]
-        bk2 = next((b for b in candidates if vmem(b) <= 8 * 1024 * 1024), 128)
-        lead = x.shape[:-1]
-        y = int4_matmul_tiled(
-            x.reshape(-1, 2 * k2), tiles, scale, n_out=n, block_k2=bk2
+        bk2 = next(
+            (b for b in candidates
+             if b <= cap and vmem(b) <= 8 * 1024 * 1024),
+            128,
         )
-        return y.reshape(*lead, n)
+        lead = x.shape[:-1]
+        scale_pad = (
+            jnp.pad(scale, (0, n_pad - n_out)) if n_pad != n_out else scale
+        )
+        y = int4_matmul_tiled(
+            x.reshape(-1, 2 * k2), tiles, scale_pad, n_out=n_out, block_k2=bk2
+        )
+        return y.reshape(*lead, n_out)
     # reference path: un-tile -> unpack -> matmul
-    flat = jnp.moveaxis(tiles, -3, -2).reshape(*tiles.shape[:-3], k2, n)
-    w = unpack_int4_halves(flat, x.dtype)
+    flat = jnp.moveaxis(tiles, -3, -2).reshape(*tiles.shape[:-3], k2, n_pad)
+    w = unpack_int4_halves(flat, x.dtype)[..., :n_out]
     y = jnp.einsum("...d,df->...f", x, w, preferred_element_type=jnp.float32)
     return (y * scale.astype(jnp.float32)).astype(x.dtype)
 
@@ -174,17 +221,25 @@ def random_int8_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
 # This is a TPU-native w4a16 path, not bitsandbytes nf4 (no lookup table).
 
 
-INT4_TILE_BN = 256  # divides every production projection width
+# Tile width for the tile-contiguous int4 layout. The decode step is
+# per-grid-cell-overhead bound (~1 us of fixed cost per Pallas grid cell,
+# scripts/bench_int4_kernel.py), so wider tiles (fewer, larger cells) win;
+# outputs that don't divide are zero-padded to the tile width (scales stay
+# true-width — the kernel wrapper pads/slices). Env-tunable for sweeps.
+import os as _os
+
+INT4_TILE_BN = int(_os.environ.get("TEOCHAT_INT4_TILE_BN", "256"))
 
 
 def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """[in, out] fp -> {'packed_tiles': uint8 [out/bn, in/2, bn], 'scale': [out]}.
+    """[in, out] fp -> {'packed_tiles': uint8 [ceil(out/bn), in/2, bn],
+    'scale': [out]}.
 
     Split-halves nibble packing in the tile-contiguous layout
-    (ops/int4_matmul.py): each bn-wide column band is a dense HBM region so the
-    kernel's per-tile DMA streams at full rate. Detection is by the
-    'packed_tiles' key. Requires out % 256 == 0 (true for all LLaMA shapes);
-    otherwise falls back to the flat 'packed' layout."""
+    (ops/int4_matmul.py): each bn-wide column band is a dense HBM region so
+    the kernel's per-tile DMA streams at full rate. Detection is by the
+    'packed_tiles' key; outputs narrower than one tile keep the flat
+    'packed' layout."""
     from teochat_tpu.ops.int4_matmul import pack_int4, pack_int4_tiled
 
     k32 = jnp.asarray(kernel, jnp.float32)
@@ -194,7 +249,7 @@ def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     scale = jnp.where(amax == 0, 1.0, amax / 7.0)
     q = jnp.clip(jnp.round(k32 / scale[..., None, :]), -8, 7).astype(jnp.int32)
     n = q.shape[-1]
-    if n % INT4_TILE_BN:
+    if n < INT4_TILE_BN:
         return {"packed": pack_int4(q), "scale": scale}
     if q.ndim == 2:
         tiles = pack_int4_tiled(q, INT4_TILE_BN)
@@ -210,14 +265,21 @@ def unpack_int4(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return unpack_int4_halves(packed, dtype)
 
 
-def int4_proj(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+def int4_proj(
+    x: jnp.ndarray, p: Dict[str, jnp.ndarray], layer=None
+) -> jnp.ndarray:
     """y = (x @ unpack(W_i4)) * scale.
 
     On TPU routes to the Pallas fused dequant-matmul (reads only packed bytes
-    from HBM); elsewhere falls back to an XLA unpack (tests/CPU)."""
+    from HBM); elsewhere falls back to an XLA unpack (tests/CPU). `layer`:
+    when `p` holds LAYER-STACKED tiles ([L, ...]), selects the layer INSIDE
+    the kernel (scalar prefetch) instead of an XLA dynamic-slice."""
     if "packed_tiles" in p:
-        return _int4_proj_tiled(x, p)
+        return _int4_proj_tiled(x, p, layer)
     packed, scale = p["packed"], p["scale"]
+    if packed.ndim == 3 and layer is not None:  # stacked flat layout
+        packed = jax.lax.dynamic_index_in_dim(packed, layer, 0, keepdims=False)
+        scale = jax.lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
     k2, n = packed.shape[-2], packed.shape[-1]
     if (
         jax.default_backend() == "tpu"
@@ -248,15 +310,48 @@ def int4_proj(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return (y * scale.astype(jnp.float32)).astype(x.dtype)
 
 
-def quantize_llama_params_int4(params: Dict, quantize_lm_head: bool = True) -> Dict:
-    """Quantize decoder projections to packed int4 (layer-stacked kernels)."""
+def quantize_llama_params_int4(
+    params: Dict, quantize_lm_head: bool = True, fuse_projections: bool = True
+) -> Dict:
+    """Quantize decoder projections to packed int4 (layer-stacked kernels).
+
+    fuse_projections concatenates q|k|v and gate|up along the output dim
+    before packing (per-column scales are unchanged by the concat, so the
+    math is identical). The int4 decode step is per-pallas-call-overhead
+    bound, not VPU-bound (measured: back-to-back kernel calls cost ~15-20us
+    of pipeline drain/warmup each; scripts/bench_int4_kernel.py) — fusing
+    cuts the calls per layer from 7 to 4. The fused leaves are detected by
+    the 'qkv'/'gateup' keys in models/llama.py."""
     out = dict(params)
     layers = dict(params["layers"])
-    for group in _QUANT_TARGETS:
-        g = {}
-        for name, proj in layers[group].items():
-            g[name] = quantize_kernel_int4(proj["kernel"])
-        layers[group] = g
+
+    def _plain(group, names):
+        return all(set(layers[group][n].keys()) == {"kernel"} for n in names)
+
+    if fuse_projections and _plain("attn", ("q", "k", "v")) and _plain(
+        "mlp", ("gate", "up")
+    ):
+        attn, mlp = layers["attn"], layers["mlp"]
+        qkv = jnp.concatenate(
+            [attn[n]["kernel"] for n in ("q", "k", "v")], axis=-1
+        )
+        gateup = jnp.concatenate(
+            [mlp[n]["kernel"] for n in ("gate", "up")], axis=-1
+        )
+        layers["attn"] = {
+            "qkv": quantize_kernel_int4(qkv),
+            "out": quantize_kernel_int4(attn["out"]["kernel"]),
+        }
+        layers["mlp"] = {
+            "gateup": quantize_kernel_int4(gateup),
+            "down": quantize_kernel_int4(mlp["down"]["kernel"]),
+        }
+    else:
+        for group in _QUANT_TARGETS:
+            g = {}
+            for name, proj in layers[group].items():
+                g[name] = quantize_kernel_int4(proj["kernel"])
+            layers[group] = g
     out["layers"] = {**layers}
     if quantize_lm_head and "lm_head" in params:
         out["lm_head"] = quantize_kernel_int4(params["lm_head"]["kernel"])
@@ -270,9 +365,10 @@ def random_int4_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
     hkv_d = cfg.num_kv_heads * cfg.head_dim
 
     def qproj(key, fan_in, fan_out):
+        bn = INT4_TILE_BN
+        n_tiles = (fan_out + bn - 1) // bn
         tiles = jax.random.randint(
-            key, (L, fan_out // INT4_TILE_BN, fan_in // 2, INT4_TILE_BN), 0, 256,
-            jnp.int32,
+            key, (L, n_tiles, fan_in // 2, bn), 0, 256, jnp.int32
         )
         return {
             "packed_tiles": tiles.astype(jnp.uint8),
@@ -288,22 +384,21 @@ def random_int4_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
         "layers": {
             "input_norm": {"scale": jnp.ones((L, d), jnp.float32)},
             "attn": {
-                "q": qproj(next(keys), d, d),
-                "k": qproj(next(keys), d, hkv_d),
-                "v": qproj(next(keys), d, hkv_d),
+                "qkv": qproj(next(keys), d, d + 2 * hkv_d),
                 "out": qproj(next(keys), d, d),
             },
             "post_attn_norm": {"scale": jnp.ones((L, d), jnp.float32)},
             "mlp": {
-                "gate": qproj(next(keys), d, i_sz),
-                "up": qproj(next(keys), d, i_sz),
+                "gateup": qproj(next(keys), d, 2 * i_sz),
                 "down": qproj(next(keys), i_sz, d),
             },
         },
         "final_norm": {"scale": jnp.ones((d,), jnp.float32)},
         "lm_head": {
             "packed_tiles": jax.random.randint(
-                next(keys), (cfg.vocab_size // INT4_TILE_BN, d // 2, INT4_TILE_BN),
+                next(keys),
+                ((cfg.vocab_size + INT4_TILE_BN - 1) // INT4_TILE_BN,
+                 d // 2, INT4_TILE_BN),
                 0, 256, jnp.int32,
             ).astype(jnp.uint8),
             "scale": jnp.full((cfg.vocab_size,), 0.02 / 7, jnp.float32),

@@ -58,6 +58,14 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r"llm/layers/mlp/(gate|up)/packed_tiles$", P(None, "model", "fsdp", None)),
     (r"llm/layers/mlp/down/packed_tiles$", P(None, "fsdp", "model", None)),
     (r"llm/lm_head/packed_tiles$", P("model", "fsdp", None)),
+    # --- fused q|k|v and gate|up projections (quantize-time concat,
+    # ops/quant.py fuse_projections): column-parallel like their parts; the
+    # tile axis is the fused OUTPUT dim ---
+    (r"llm/layers/(attn/qkv|mlp/gateup)/kernel$", P(None, "fsdp", "model")),
+    (r"llm/layers/(attn/qkv|mlp/gateup)/scale$", P(None, "model")),
+    (r"llm/layers/(attn/qkv|mlp/gateup)/packed$", P(None, "fsdp", "model")),
+    (r"llm/layers/(attn/qkv|mlp/gateup)/packed_tiles$",
+     P(None, "model", "fsdp", None)),
     # --- Vision tower (stacked [L, ...]) ---
     (r"vision/layers/(temporal_attn|attn)/(q|k|v)/kernel$", P(None, "fsdp", "model")),
     (r"vision/layers/(temporal_attn|attn)/(q|k|v)/bias$", P(None, "model")),
@@ -95,14 +103,36 @@ def spec_for_path(path_s: str) -> P:
     return _DEFAULT
 
 
-def param_specs(params: Dict) -> Dict:
-    """Pytree of PartitionSpecs mirroring `params`."""
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop mesh axes a leaf dim can't divide (e.g. a 1-tile packed_tiles
+    axis over model=2) — GSPMD requires divisibility; replicating that dim
+    is the correct degradation."""
+    axes = []
+    for i, ax in enumerate(spec):
+        if ax is None:
+            axes.append(None)
+            continue
+        names = ax if isinstance(ax, tuple) else (ax,)
+        size = 1
+        for n in names:
+            size *= mesh.shape[n]
+        axes.append(ax if shape[i] % size == 0 else None)
+    return P(*axes)
+
+
+def param_specs(params: Dict, mesh: Mesh = None) -> Dict:
+    """Pytree of PartitionSpecs mirroring `params`.
+
+    With `mesh`, specs are fitted to each leaf (axes whose dim isn't
+    divisible by the mesh axis size fall back to replicated)."""
 
     def leaf_spec(path, leaf):
         spec = spec_for_path(_path_str(path))
         # drop axes that exceed the leaf's rank (e.g. unstacked variants)
         if len(spec) > leaf.ndim:
             spec = P(*spec[: leaf.ndim])
+        if mesh is not None:
+            spec = _fit_spec(spec, leaf.shape, mesh)
         return spec
 
     return jax.tree_util.tree_map_with_path(leaf_spec, params)
@@ -110,7 +140,7 @@ def param_specs(params: Dict) -> Dict:
 
 def shard_params(params: Dict, mesh: Mesh) -> Dict:
     """Place params on the mesh per the rules (device_put with NamedSharding)."""
-    specs = param_specs(params)
+    specs = param_specs(params, mesh)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

@@ -240,8 +240,11 @@ def test_load_int4_quantizes_decoder(ckpt_dir):
         builder_mod.load_config = orig
     import jax.numpy as jnp
 
-    q = model.params["llm"]["layers"]["attn"]["q"]
-    assert "packed" in q and q["packed"].dtype == jnp.uint8
+    # load_int4 fuses q|k|v at quantize time (ops/quant.py fuse_projections)
+    qkv = model.params["llm"]["layers"]["attn"]["qkv"]
+    assert (
+        "packed" in qkv and qkv["packed"].dtype == jnp.uint8
+    ) or "packed_tiles" in qkv
     # int4 model still generates
     out = model.generate(
         [[1, 5, 9]], None,

@@ -54,3 +54,33 @@ def test_int4_matmul_tiled_matches_reference(m, k, n):
     ref = (x @ w_q.astype(jnp.float32)) * scale[None, :n]
     got = int4_matmul_tiled(x, tiles, scale, n_out=n, block_k2=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("m,k,n,layers", [(1, 256, 256, 3), (4, 512, 300, 2)])
+def test_int4_matmul_tiled_stacked_selects_layer(m, k, n, layers):
+    """The layer-stacked kernel (scalar-prefetch layer index) must equal the
+    per-layer reference for EVERY layer index."""
+    from teochat_tpu.ops.int4_matmul import (
+        int4_matmul_tiled_stacked,
+        pack_int4_tiled,
+    )
+
+    rs = np.random.RandomState(11)
+    w_q = jnp.asarray(rs.randint(-8, 8, (layers, k, n)), jnp.int32)
+    tiles = jnp.stack([pack_int4_tiled(w_q[l], bn=128) for l in range(layers)])
+    n_pad = tiles.shape[1] * 128
+    scale = jnp.asarray(
+        np.pad(
+            rs.rand(layers, n).astype(np.float32) * 0.1 + 0.01,
+            ((0, 0), (0, n_pad - n)),
+        )
+    )
+    x = jnp.asarray(rs.randn(m, k), jnp.float32)
+    for l in range(layers):
+        ref = (x @ w_q[l].astype(jnp.float32)) * scale[l, None, :n]
+        got = int4_matmul_tiled_stacked(
+            x, tiles, scale, l, n_out=n, block_k2=128, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-4
+        )

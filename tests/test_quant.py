@@ -126,3 +126,24 @@ def test_act_i8_prefill_logit_bound():
     np.testing.assert_array_equal(
         base[:, -1].argmax(-1), w8a8[:, -1].argmax(-1)
     )
+
+
+def test_int4_fused_matches_unfused():
+    """fuse_projections concatenates q|k|v and gate|up before packing;
+    per-column scales make the fused math identical to the per-projection
+    path (same accumulation order along K)."""
+    from teochat_tpu.ops.quant import quantize_llama_params_int4
+
+    params = init_llama(jax.random.PRNGKey(0), CFG)
+    qf = quantize_llama_params_int4(params)
+    qu = quantize_llama_params_int4(params, fuse_projections=False)
+    assert "qkv" in qf["layers"]["attn"] and "gateup" in qf["layers"]["mlp"]
+    assert "q" in qu["layers"]["attn"] and "gate" in qu["layers"]["mlp"]
+    ids = jnp.asarray(np.random.RandomState(7).randint(0, 64, (2, 5)))
+    pos = jnp.tile(jnp.arange(5)[None, :], (2, 1))
+    emb = embed_tokens(params, ids)
+    fused, _ = llama_forward(qf, CFG, emb, position_ids=pos)
+    unfused, _ = llama_forward(qu, CFG, emb, position_ids=pos)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(unfused), atol=1e-5, rtol=1e-5
+    )
