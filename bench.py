@@ -243,6 +243,81 @@ def phase_decode_int4():
     return {"decode_tokens_per_sec_int4": (max_new - 1) / (t_full - t_one)}
 
 
+def phase_decode_spec():
+    """bs=1 greedy decode with prompt-lookup speculation (k drafted tokens
+    verified per step). Decode is weight-bandwidth-bound, so a (k+1)-token
+    verify step costs ~one plain step; tokens/s multiplies by the mean
+    accepted+1 per step. HONESTY NOTE: random-init weights loop quickly under
+    greedy, which inflates n-gram acceptance vs real checkpoints — the
+    transferable numbers are `spec_iteration_s` (verify-step cost, weights-
+    independent physics) and the tok/s formula; the measured tok/s is an
+    upper bound specific to this synthetic prompt. Mean acceptance on real
+    EO outputs depends on how much the response echoes the prompt (bbox
+    lists, class names do; free text does not)."""
+    import dataclasses
+
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from teochat_tpu.config import TEOChatConfig
+    from teochat_tpu.constants import IMAGE_TOKEN_INDEX
+    from teochat_tpu.models import fusion as fusion_mod, generation as gen_mod
+    from teochat_tpu.ops.quant import random_int8_llama
+
+    cfg = TEOChatConfig()
+    llm = random_int8_llama(jax.random.PRNGKey(0), cfg.llm)
+    jax.block_until_ready(llm)
+
+    prompt_len, max_new, spec_k = 640, 64, 8
+    ids = [[1] + [IMAGE_TOKEN_INDEX, 7] * 2 + list(range(10, 10 + 123))]
+    plan = fusion_mod.build_fusion_plan(ids, tokens_per_frame=256, pad_to=prompt_len)
+    embeds = jnp.asarray(
+        np.random.RandomState(1).randn(1, prompt_len, cfg.llm.hidden_size) * 0.02,
+        jnp.bfloat16,
+    )
+    prompt_ids = np.full((1, max(len(r) for r in ids)), -1, np.int32)
+    for i, r in enumerate(ids):
+        prompt_ids[i, : len(r)] = r
+    stop = gen_mod.StopSpec(
+        keyword_ids=jnp.zeros((1, 1), jnp.int32),
+        keyword_lens=jnp.zeros((1,), jnp.int32),
+        eos_id=jnp.asarray(-1, jnp.int32),
+    )
+    out = [None]
+
+    def run(n_new):
+        toks, n, steps, acc = gen_mod.generate_tokens_spec(
+            llm, cfg.llm, embeds, plan.seq_lens, plan.attention_mask,
+            plan.position_ids, jnp.asarray(prompt_ids),
+            jnp.asarray([len(ids[0])], jnp.int32), stop,
+            max_new_tokens=n_new, cache_len=prompt_len + n_new + spec_k + 1,
+            spec_k=spec_k,
+        )
+        out[0] = toks
+        return steps, acc
+
+    stats = [None]
+
+    def full():
+        stats[0] = run(max_new)
+
+    def one():
+        run(1)
+
+    def sync():
+        int(jnp.sum(out[0]))
+
+    t_full = _timeit(full, iters=3, sync=sync)
+    t_one = _timeit(one, iters=3, sync=sync)
+    steps, acc = (int(x) for x in stats[0])
+    it_s = (t_full - t_one) / max(steps - 1, 1)
+    return {
+        "decode_tokens_per_sec_spec_bs1": (max_new - 1) / (t_full - t_one),
+        "spec_iteration_s": it_s,
+        "spec_steps_for_64_tokens": steps,
+        "spec_mean_tokens_per_step": max_new / max(steps, 1),
+    }
+
+
 def phase_e2e():
     """2-frame encode + prefill + 32 new tokens, one process: e2e latency."""
     import numpy as np
@@ -299,6 +374,7 @@ PHASES = {
     "decode_bs16": phase_decode_bs16,
     "decode_bs32": phase_decode_bs32,
     "decode_int4": phase_decode_int4,
+    "decode_spec": phase_decode_spec,
     "ttft_int8act": phase_ttft_int8act,
     "e2e": phase_e2e,
 }
@@ -329,7 +405,7 @@ def main():
 
     results = {}
     for name in ("decode", "decode_bs8", "decode_bs16", "decode_bs32",
-                 "decode_int4", "ttft_int8act", "encode", "e2e"):
+                 "decode_int4", "decode_spec", "ttft_int8act", "encode", "e2e"):
         _log(f"running phase {name}")
         r = _run_phase_subprocess(name)
         if r:
@@ -367,6 +443,15 @@ def main():
             ),
             "decode_tokens_per_sec_int4_bs1": round(
                 results.get("decode_tokens_per_sec_int4", 0.0), 1
+            ),
+            "decode_tokens_per_sec_spec_bs1_synthetic": round(
+                results.get("decode_tokens_per_sec_spec_bs1", 0.0), 1
+            ),
+            "spec_verify_iteration_s_k8": round(
+                results.get("spec_iteration_s", 0.0), 5
+            ),
+            "spec_mean_tokens_per_step": round(
+                results.get("spec_mean_tokens_per_step", 0.0), 2
             ),
         },
     }

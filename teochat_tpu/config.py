@@ -139,6 +139,10 @@ class GenerationConfig:
     do_sample: bool = True
     top_p: float = 1.0
     stop_strings: Tuple[str, ...] = ("</s>",)
+    # Greedy-only prompt-lookup speculation: verify this many drafted tokens
+    # per decode step (0 = off). Token-identical to plain greedy; ignored
+    # when do_sample/temperature sampling is active.
+    speculative_k: int = 0
 
 
 @dataclass(frozen=True)

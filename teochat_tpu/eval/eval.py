@@ -83,6 +83,7 @@ def eval(
     max_new_tokens: int = 256,
     batch_size: int = 1,
     vision_path: Optional[str] = None,
+    speculative_k: int = 0,
     dataset=None,
     model_bundle=None,
 ):
@@ -139,6 +140,7 @@ def eval(
             dataset, model, tokenizer, processor, prompt_strategy,
             chronological_prefix, conv_mode, temperature, max_new_tokens,
             dataset_name=dataset_name, batch_size=batch_size,
+            speculative_k=speculative_k,
         )
         print(f"Saving outputs to {out_path}")
         with open(out_path, "w") as f:
@@ -174,6 +176,9 @@ def main(argv=None):
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--max_new_tokens", type=int, default=256)
     parser.add_argument("--batch_size", type=int, default=1)
+    # prompt-lookup speculative decoding for greedy runs (--temperature 0):
+    # verifies k drafted tokens per decode step; outputs are token-identical
+    parser.add_argument("--speculative_k", type=int, default=0)
     parser.add_argument("--vision_path", type=str, default=None)
     args = parser.parse_args(argv)
     eval(**vars(args))

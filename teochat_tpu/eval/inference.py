@@ -80,8 +80,12 @@ def run_inference_single(
     temperature: float = 0.2,
     max_new_tokens: int = 256,
     rng=None,
+    speculative_k: int = 0,
 ) -> str:
-    """Generate a response for one example (reference inference.py:23-77)."""
+    """Generate a response for one example (reference inference.py:23-77).
+
+    `speculative_k` > 0 enables prompt-lookup speculative decoding for greedy
+    runs (temperature 0) — token-identical outputs, fewer decode steps."""
     prompt, image_paths, stop_str = _build_prompt(
         inp, image_paths, conv_mode, timestamps, prompt_strategy, chronological_prefix
     )
@@ -93,6 +97,7 @@ def run_inference_single(
         temperature=temperature,
         do_sample=temperature > 0,
         stop_strings=(stop_str,),
+        speculative_k=speculative_k,
     )
     out_ids = model.generate([input_ids], pixel_values, gen, rng=rng)[0]
     text = tokenizer.decode(out_ids)
@@ -144,6 +149,7 @@ def run_inference(
     dataset_name: Optional[str] = None,
     batch_size: int = 1,
     progress: bool = True,
+    speculative_k: int = 0,
 ) -> List[Dict]:
     """Dataset loop (reference inference.py:88-137). batch_size > 1 routes to
     the batched TPU path."""
@@ -152,6 +158,7 @@ def run_inference(
             dataset, model, tokenizer, processor, prompt_strategy,
             chronological_prefix, conv_mode, temperature, max_new_tokens,
             dataset_name=dataset_name, batch_size=batch_size, progress=progress,
+            speculative_k=speculative_k,
         )
     iterator = dataset
     if progress:
@@ -167,6 +174,7 @@ def run_inference(
             prompt_strategy=prompt_strategy,
             chronological_prefix=chronological_prefix,
             temperature=temperature, max_new_tokens=max_new_tokens,
+            speculative_k=speculative_k,
         )
         outputs.append(_collect_output(example, response, dataset_name))
     return outputs
@@ -185,6 +193,7 @@ def run_inference_batched(
     dataset_name: Optional[str] = None,
     batch_size: int = 8,
     progress: bool = True,
+    speculative_k: int = 0,
 ) -> List[Dict]:
     """Batched eval: groups examples by fused-length bucket so each device
     program is reused, preprocesses frames per batch, decodes rows together."""
@@ -207,23 +216,40 @@ def run_inference_batched(
         max_new_tokens=max_new_tokens,
         temperature=temperature,
         do_sample=temperature > 0,
+        speculative_k=speculative_k,
     )
     responses: Dict[int, str] = {}
     batches = [prepped[i : i + batch_size] for i in range(0, len(prepped), batch_size)]
-    if progress:
-        from tqdm import tqdm
 
-        batches = tqdm(batches)
-    for batch in batches:
-        ids_list = [b[1] for b in batch]
+    # One-batch-lookahead prefetch: host image decode/resize (PIL releases the
+    # GIL) for batch i+1 overlaps the device generate of batch i. The
+    # reference preprocesses inline per example (inference.py:52-53), leaving
+    # the GPU idle during host work.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _prep(batch):
         frames = [
             processor.preprocess(list(b[2]))["pixel_values"] for b in batch
         ]
-        pixel_values = np.concatenate(frames, axis=0) if frames else None
-        gen = GenerationConfig(stop_strings=(batch[0][3],), **gen_base)
-        outs = model.generate(ids_list, pixel_values, gen)
-        for (idx, _, _, _, _), out_ids in zip(batch, outs):
-            responses[idx] = tokenizer.decode(out_ids).replace("</s>", "").strip()
+        return np.concatenate(frames, axis=0) if frames else None
+
+    iterator = range(len(batches))
+    if progress:
+        from tqdm import tqdm
+
+        iterator = tqdm(iterator)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_prep, batches[0]) if batches else None
+        for i in iterator:
+            batch = batches[i]
+            pixel_values = fut.result()
+            if i + 1 < len(batches):
+                fut = pool.submit(_prep, batches[i + 1])
+            ids_list = [b[1] for b in batch]
+            gen = GenerationConfig(stop_strings=(batch[0][3],), **gen_base)
+            outs = model.generate(ids_list, pixel_values, gen)
+            for (idx, _, _, _, _), out_ids in zip(batch, outs):
+                responses[idx] = tokenizer.decode(out_ids).replace("</s>", "").strip()
 
     return [
         _collect_output(example, responses[i], dataset_name)

@@ -192,3 +192,190 @@ def generate_tokens(
     state = jax.lax.while_loop(cond_fn, step_fn, state)
     (_, _, _, tokens, _, _, n_gen, _) = state
     return tokens, n_gen
+
+
+# ------------------------------------------------- prompt-lookup speculation
+#
+# Decode on TPU is weight-bandwidth-bound: a forward over s tokens reads the
+# same HBM bytes as a forward over 1. Verifying k drafted tokens in one
+# (k+1)-token "spec_verify" pass (llama.py) therefore costs ~one decode step;
+# every accepted draft is a nearly-free extra token. Drafts come from the
+# prompt+history itself (prompt-lookup / n-gram drafting — no draft model):
+# EO responses echo prompt substrings heavily (bbox coordinate lists, class
+# names, "Image N" phrases), which is exactly where n-gram lookup hits.
+# Greedy-only: emitted tokens are verified against the target model's own
+# argmax, so the output is token-identical to plain greedy decode (same
+# weights, same fp32 softmax path — spec_verify also pins bf16 activations so
+# w8a8 prefill quantization never leaks into the targets).
+#
+# The reference has no speculative path (HF generate one token at a time,
+# inference.py:64-72); this is a beyond-reference capability.
+
+
+def _draft_lookup(hist: jnp.ndarray, hist_len: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Bigram prompt-lookup drafting.
+
+    hist: [B, H] token history (prompt text ids then generated ids; pads and
+    image sentinels are negative, so they never match). Finds the most recent
+    earlier occurrence of the last two tokens and proposes the k tokens that
+    followed it. Rows without a match draft zeros (rejected by verification
+    at the cost of nothing — the verify pass runs regardless).
+    Returns [B, k] int32 draft ids (always valid embedding indices).
+    """
+    b, h = hist.shape
+    rows = jnp.arange(b)
+    a = hist[rows, jnp.maximum(hist_len - 2, 0)]
+    z = hist[rows, jnp.maximum(hist_len - 1, 0)]
+    idx = jnp.arange(h - 1)
+    m = (hist[:, :-1] == a[:, None]) & (hist[:, 1:] == z[:, None])
+    # candidate start i pairs (i, i+1); exclude the query pair itself
+    m &= idx[None, :] <= (hist_len - 3)[:, None]
+    m &= (hist_len >= 3)[:, None]
+    best = jnp.max(jnp.where(m, idx, -1), axis=1)  # [B], -1 = no match
+    start = best + 2  # continuation begins after the matched bigram
+    gidx = jnp.clip(start[:, None] + jnp.arange(k)[None, :], 0, h - 1)
+    d = jnp.take_along_axis(hist, gidx, axis=1)
+    usable = (best >= 0)[:, None] & (gidx <= (hist_len - 1)[:, None]) & (d >= 0)
+    return jnp.where(usable, d, 0).astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "pad_id", "cache_len", "kv_dtype", "spec_k",
+    ),
+)
+def generate_tokens_spec(
+    params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,  # [B, S, D] fused prompt embeddings
+    seq_lens: jnp.ndarray,  # [B] true fused prompt lengths
+    attention_mask: jnp.ndarray,  # [B, S] prompt validity
+    position_ids: jnp.ndarray,  # [B, S]
+    prompt_ids: jnp.ndarray,  # [B, S_text] text token ids (pad/sentinel < 0)
+    prompt_id_lens: jnp.ndarray,  # [B] valid text ids per row
+    stop: StopSpec,
+    *,
+    max_new_tokens: int,
+    pad_id: int = 0,
+    cache_len: Optional[int] = None,
+    kv_dtype: str = "bfloat16",
+    spec_k: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy decode with prompt-lookup speculation.
+
+    Returns (tokens [B, max_new_tokens], n_gen [B], steps, drafts_accepted) —
+    `steps` is the number of verify iterations actually run (scalar int32);
+    tokens/s speedup over plain greedy is ~ max_new_tokens_emitted / steps.
+    Token-identical to generate_tokens(..., do_sample=False).
+    """
+    b, s, _ = inputs_embeds.shape
+    from teochat_tpu.models.llama import init_cache
+
+    cache = init_cache(cfg, b, cache_len, dtype=jnp.dtype(kv_dtype))
+    t_max = cache.max_len
+    m = stop.keyword_ids.shape[1]
+    k = spec_k
+    rows = jnp.arange(b)
+
+    trash = t_max - 1
+    slots = jnp.where(attention_mask, position_ids, trash)
+    kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) < seq_lens[:, None]
+    logits, cache = llama_mod.llama_forward(
+        params, cfg, inputs_embeds,
+        position_ids=position_ids, cache=cache, write_slots=slots,
+        kv_mask=kv_mask,
+        logits_mode="last", last_index=seq_lens - 1,
+    )
+    logits0 = logits[:, -1]  # [B, V]
+
+    h_max = prompt_ids.shape[1] + max_new_tokens
+    hist0 = jnp.concatenate(
+        [
+            jnp.asarray(prompt_ids, jnp.int32),
+            jnp.full((b, max_new_tokens), -1, jnp.int32),
+        ],
+        axis=1,
+    )
+    # right-compact the prompt ids? They are already left-aligned with -1 pads
+    # interspersed only at the tail (build_fusion_plan keeps text order), so
+    # hist positions [0, prompt_id_lens) are the real ids.
+
+    def record(tokens, n_gen, hist, hist_len, window, done, tok, valid):
+        """Append `tok` where `valid`; returns updated buffers (one token)."""
+        t_idx = jnp.minimum(n_gen, max_new_tokens - 1)
+        old_t = tokens[rows, t_idx]
+        tokens = tokens.at[rows, t_idx].set(jnp.where(valid, tok, old_t))
+        h_idx = jnp.minimum(hist_len, h_max - 1)
+        old_h = hist[rows, h_idx]
+        hist = hist.at[rows, h_idx].set(jnp.where(valid, tok, old_h))
+        win_new = jnp.concatenate([window[:, 1:], tok[:, None]], axis=1)
+        window = jnp.where(valid[:, None], win_new, window)
+        hit = (tok == stop.eos_id) | _keyword_hit(window, stop)
+        done = done | (valid & hit)
+        n_gen = n_gen + valid.astype(jnp.int32)
+        hist_len = hist_len + valid.astype(jnp.int32)
+        done = done | (n_gen >= max_new_tokens)
+        return tokens, n_gen, hist, hist_len, window, done
+
+    def step_fn(state):
+        (cache, tokens, window, done, n_gen, hist, hist_len, logits,
+         steps, accepted) = state
+        # the carried logits continue the last recorded token's context
+        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        tok0 = jnp.where(done, pad_id, tok0)
+        pos0 = seq_lens + n_gen  # cache slot of tok0, per row
+        valid0 = ~done
+        tokens, n_gen, hist, hist_len, window, done = record(
+            tokens, n_gen, hist, hist_len, window, done, tok0, valid0
+        )
+        drafts = _draft_lookup(hist, hist_len, k)  # [B, k]
+
+        blk = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, k+1]
+        blk_pos = pos0[:, None] + jnp.arange(k + 1)[None, :]
+        blk_pos = jnp.minimum(blk_pos, t_max - 2)  # stay off the trash slot
+        kv_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1)
+            <= (pos0 + k)[:, None]
+        )
+        emb = llama_mod.embed_tokens(params, blk, dtype=inputs_embeds.dtype)
+        blk_logits, cache = llama_mod.llama_forward(
+            params, cfg, emb, position_ids=blk_pos, cache=cache,
+            write_slots=blk_pos, kv_mask=kv_mask, logits_mode="all",
+            spec_verify=True,
+        )  # [B, k+1, V]
+        targets = jnp.argmax(blk_logits, axis=-1).astype(jnp.int32)  # [B, k+1]
+
+        # draft j (blk position j, 1-indexed) is correct iff it equals the
+        # greedy target after position j-1 AND all earlier drafts matched
+        match = drafts == targets[:, :k]  # [B, k]
+        acc = jnp.cumprod(match.astype(jnp.int32), axis=1).astype(bool)
+        rec = jnp.zeros((b,), jnp.int32)  # drafts recorded this iteration
+        for j in range(k):
+            valid = acc[:, j] & ~done
+            tokens, n_gen, hist, hist_len, window, done = record(
+                tokens, n_gen, hist, hist_len, window, done,
+                drafts[:, j], valid,
+            )
+            rec = rec + valid.astype(jnp.int32)
+        accepted = accepted + jnp.sum(rec)
+        # next iteration samples from the logits after the last recorded token
+        logits = blk_logits[rows, rec]
+        return (cache, tokens, window, done, n_gen, hist, hist_len, logits,
+                steps + 1, accepted)
+
+    def cond_fn(state):
+        done = state[3]
+        return ~jnp.all(done)
+
+    tokens0 = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+    window0 = jnp.full((b, m), -1, jnp.int32)
+    state = (
+        cache, tokens0, window0, jnp.zeros((b,), bool),
+        jnp.zeros((b,), jnp.int32), hist0,
+        jnp.asarray(prompt_id_lens, jnp.int32), logits0,
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+    )
+    state = jax.lax.while_loop(cond_fn, step_fn, state)
+    (_, tokens, _, _, n_gen, _, _, _, steps, accepted) = state
+    return tokens, n_gen, steps, accepted

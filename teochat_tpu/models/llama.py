@@ -120,6 +120,7 @@ def _attention_layer(
     layer: Optional[jnp.ndarray] = None,
     row_offset=0,
     act_quant: bool = False,
+    spec_verify: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Self-attention with optional KV cache.
 
@@ -127,7 +128,10 @@ def _attention_layer(
     `layer` selecting this layer's slab (kept whole so updates stay in place);
     write_slots: [B, S] slot index for each new token; q_slots: [B, S] slot of
     each query (for causal masking against cache slots); kv_mask: [B, T_max]
-    validity.
+    validity. `spec_verify`: treat an S>1 block like S decode steps (per-row
+    scatter writes + masked attention against the cache) — the speculative-
+    decoding verification path (models/generation.py), where the S tokens are
+    a draft continuation rather than a fresh right-padded prompt.
     """
     b, s, _ = x.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -174,7 +178,7 @@ def _attention_layer(
         # lax.scan ys, which re-stacked — i.e. fully copied — both cache
         # buffers every decode step: ~1.5 GB x2 at bs=8, ~10 ms/step of pure
         # copy, the dominant cost of batched decode.)
-        if s > 1:
+        if s > 1 and not spec_verify:
             # Prefill writes are CONTIGUOUS for right-padded prompts: one
             # dynamic_update_slice of the whole [B, S] panel at slot 0 (far
             # faster than a 640-row scatter). Slots in [row_len, S) hold pad
@@ -199,7 +203,7 @@ def _attention_layer(
             v_cache = v_cache.at[layer, batch_idx, write_slots].set(
                 v.astype(v_cache.dtype)
             )
-        if s > 1:
+        if s > 1 and not spec_verify:
             # Prefill: right-padded fused prompts start at slot 0, so causal
             # attention over the FRESH k/v equals attention over the cache
             # (padded keys sit after every valid query) — O(S^2), and the
@@ -237,14 +241,17 @@ def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False, layer=None) -> jnp
 
 
 def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
-                   write_slots, right_padded=False, layer=None, row_offset=0):
+                   write_slots, right_padded=False, layer=None, row_offset=0,
+                   spec_verify=False):
     # w8a8 projections on the compute-bound prefill only (s>1); decode is
-    # bandwidth-bound and keeps bf16 activations
-    act_quant = cfg.int8_prefill_activations and x.shape[1] > 1
+    # bandwidth-bound and keeps bf16 activations. Speculative verify blocks
+    # (s>1 but decode-like) also stay bf16 so the greedy targets match the
+    # plain decode path exactly.
+    act_quant = cfg.int8_prefill_activations and x.shape[1] > 1 and not spec_verify
     y = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
     attn_out, k_cache, v_cache = _attention_layer(
         y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
-        write_slots, right_padded, layer, row_offset, act_quant
+        write_slots, right_padded, layer, row_offset, act_quant, spec_verify
     )
     x = x + attn_out
     y = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
@@ -273,6 +280,7 @@ def llama_forward(
     remat: bool = False,
     right_padded: bool = False,
     cache_row_offset=0,
+    spec_verify: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -331,7 +339,7 @@ def llama_forward(
             lp = _slice_layer(params["layers"], l)
             y, kc, vc = layer_fn(
                 y, lp, cfg, cos, sin, kv_mask, q_slots, kc, vc, write_slots,
-                False, l, cache_row_offset,
+                False, l, cache_row_offset, spec_verify,
             )
             return (y, kc, vc)
 

@@ -108,6 +108,8 @@ class TEOChat:
         self.params = params
         self.tokenizer = tokenizer
         self._dtype = jnp.dtype(cfg.dtype)
+        # filled by generate() when prompt-lookup speculation runs
+        self.last_spec_stats: Optional[Dict] = None
 
     @property
     def tokens_per_frame(self) -> int:
@@ -181,18 +183,42 @@ class TEOChat:
 
         # cache is allocated inside the program (+1 spare slot: padded prefill
         # tokens park their K/V there — generation trash-slot note)
-        tokens, n_gen = gen_mod.generate_tokens(
-            self.params["llm"], cfg.llm, embeds,
-            plan.seq_lens, plan.attention_mask, plan.position_ids,
-            None, stop_spec, rng,
-            max_new_tokens=gen.max_new_tokens,
-            temperature=gen.temperature,
-            do_sample=gen.do_sample,
-            top_p=gen.top_p,
-            pad_id=cfg.llm.pad_token_id,
-            cache_len=pad_to + gen.max_new_tokens + 1,
-            kv_dtype=str(jnp.dtype(self._dtype)),
-        )
+        greedy = not gen.do_sample or gen.temperature == 0.0
+        if gen.speculative_k > 0 and greedy:
+            # prompt-lookup speculation (token-identical to plain greedy)
+            s_text = max(len(r) for r in input_ids)
+            prompt_ids = np.full((b, s_text), -1, np.int32)
+            for i, r in enumerate(input_ids):
+                prompt_ids[i, : len(r)] = r
+            prompt_lens = np.asarray([len(r) for r in input_ids], np.int32)
+            tokens, n_gen, steps, accepted = gen_mod.generate_tokens_spec(
+                self.params["llm"], cfg.llm, embeds,
+                plan.seq_lens, plan.attention_mask, plan.position_ids,
+                jnp.asarray(prompt_ids), jnp.asarray(prompt_lens),
+                stop_spec,
+                max_new_tokens=gen.max_new_tokens,
+                pad_id=cfg.llm.pad_token_id,
+                cache_len=pad_to + gen.max_new_tokens + gen.speculative_k + 1,
+                kv_dtype=str(jnp.dtype(self._dtype)),
+                spec_k=gen.speculative_k,
+            )
+            self.last_spec_stats = {
+                "steps": int(steps), "drafts_accepted": int(accepted),
+                "tokens": int(np.asarray(n_gen).sum()),
+            }
+        else:
+            tokens, n_gen = gen_mod.generate_tokens(
+                self.params["llm"], cfg.llm, embeds,
+                plan.seq_lens, plan.attention_mask, plan.position_ids,
+                None, stop_spec, rng,
+                max_new_tokens=gen.max_new_tokens,
+                temperature=gen.temperature,
+                do_sample=gen.do_sample,
+                top_p=gen.top_p,
+                pad_id=cfg.llm.pad_token_id,
+                cache_len=pad_to + gen.max_new_tokens + 1,
+                kv_dtype=str(jnp.dtype(self._dtype)),
+            )
         tokens = np.asarray(tokens)
         n_gen = np.asarray(n_gen)
         return [tokens[i, : n_gen[i]].tolist() for i in range(b)]

@@ -1,0 +1,124 @@
+"""Prompt-lookup speculative decoding: token parity with plain greedy.
+
+The speculative path (models/generation.py::generate_tokens_spec) must emit
+EXACTLY the tokens plain greedy decode emits — speculation changes scheduling,
+never outputs. The reference has no speculative path (HF generate,
+inference.py:64-72); these tests pin the beyond-reference capability.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import GenerationConfig, tiny_test_config
+from teochat_tpu.constants import IMAGE_TOKEN_INDEX
+from teochat_tpu.models import generation as gen_mod
+from teochat_tpu.models.teochat import TEOChat, init_teochat
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_test_config()
+    params = init_teochat(jax.random.PRNGKey(0), cfg)
+    return TEOChat(cfg, params)
+
+
+def _greedy(k=0, max_new=12):
+    return GenerationConfig(
+        max_new_tokens=max_new, do_sample=False, temperature=0.0,
+        speculative_k=k,
+    )
+
+
+def test_draft_lookup_matches_recent_ngram():
+    hist = jnp.asarray(
+        [
+            # ... 5 6 7 8 ... 5 6 -> draft the continuation 7 8 (most recent)
+            [1, 5, 6, 7, 8, 2, 5, 6, 9, 5, 6, -1, -1],
+            # no earlier occurrence of the last bigram -> zero drafts
+            [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, -1, -1],
+        ],
+        jnp.int32,
+    )
+    lens = jnp.asarray([11, 11], jnp.int32)
+    d = np.asarray(gen_mod._draft_lookup(hist, lens, 3))
+    # row 0: query bigram (5, 6) at (9, 10); earlier matches start at 1 and 6.
+    # Most recent earlier match starts at 6 -> continuation hist[8:] = 9, 5, 6
+    assert d[0].tolist() == [9, 5, 6]
+    assert d[1].tolist() == [0, 0, 0]
+
+
+def test_draft_lookup_short_history_safe():
+    hist = jnp.asarray([[4, -1, -1]], jnp.int32)
+    d = np.asarray(gen_mod._draft_lookup(hist, jnp.asarray([1]), 2))
+    assert d.shape == (1, 2)
+    assert (d >= 0).all()
+
+
+@pytest.mark.parametrize("k", [1, 3, 5])
+def test_spec_matches_plain_greedy_text(model, k):
+    ids = [[1, 5, 9, 4, 3, 7, 8, 11, 5, 9, 4]]
+    base = model.generate(ids, None, _greedy(0))
+    spec = model.generate(ids, None, _greedy(k))
+    assert spec == base
+    stats = model.last_spec_stats
+    assert stats["steps"] >= 1
+    assert stats["tokens"] == len(spec[0])
+
+
+def test_spec_matches_plain_greedy_multimodal(model):
+    ids = [[1, 5, IMAGE_TOKEN_INDEX, 9, 4, 7]]
+    frames = np.random.RandomState(0).randn(1, 3, 28, 28).astype(np.float32)
+    base = model.generate(ids, frames, _greedy(0))
+    spec = model.generate(ids, frames, _greedy(4))
+    assert spec == base
+
+
+def test_spec_matches_plain_greedy_ragged_batch(model):
+    rows = [
+        [1, 5, IMAGE_TOKEN_INDEX, 9, 4],
+        [1, 7, 8, IMAGE_TOKEN_INDEX, IMAGE_TOKEN_INDEX, 3, 2, 6],
+        [1, 9, 9, 2, 4],
+    ]
+    frames = np.random.RandomState(1).randn(3, 3, 28, 28).astype(np.float32)
+    base = model.generate(rows, frames, _greedy(0, max_new=9))
+    spec = model.generate(rows, frames, _greedy(3, max_new=9))
+    assert spec == base
+
+
+def test_spec_respects_max_new_tokens(model):
+    ids = [[1, 5, 9, 4]]
+    for max_new in (1, 2, 5):
+        base = model.generate(ids, None, _greedy(0, max_new=max_new))
+        spec = model.generate(ids, None, _greedy(4, max_new=max_new))
+        assert spec == base
+        assert len(spec[0]) <= max_new
+
+
+def test_spec_repetitive_prompt_accepts_drafts(model):
+    """A self-repetitive context must yield accepted drafts (fewer steps
+    than tokens) — the mechanism, not just the fallback path."""
+    ids = [[1, 5, 6, 7, 8] * 6]
+    spec = model.generate(ids, None, _greedy(5, max_new=24))
+    stats = model.last_spec_stats
+    base = model.generate(ids, None, _greedy(0, max_new=24))
+    assert spec == base
+    if stats["tokens"] > 4:  # random-init models usually loop -> drafts hit
+        assert stats["steps"] < stats["tokens"]
+
+
+def test_spec_sampling_falls_back_to_plain_path(model):
+    """speculative_k is ignored under temperature sampling (stochastic path
+    cannot be verified greedily); outputs still reproducible per seed."""
+    ids = [[1, 5, 9, 4]]
+    gen = dataclasses.replace(
+        GenerationConfig(max_new_tokens=6, do_sample=True, temperature=1.0),
+        speculative_k=4,
+    )
+    a = model.generate(ids, None, gen, rng=jax.random.PRNGKey(3))
+    b = model.generate(ids, None, gen, rng=jax.random.PRNGKey(3))
+    assert a == b
