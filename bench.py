@@ -318,6 +318,72 @@ def phase_decode_spec():
     }
 
 
+def phase_train():
+    """One LoRA train step on the flagship recipe shapes (reference
+    train_teochat.sh: 8-bit backbone + LoRA r=128/a=256 + trainable projector,
+    bf16 tower, remat): tokens/sec/chip of supervised training. The reference
+    never publishes a training-throughput number; this pins ours."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from teochat_tpu.config import TEOChatConfig
+    from teochat_tpu.constants import IMAGE_TOKEN_INDEX
+    from teochat_tpu.models import fusion as fusion_mod, vit as vit_mod
+    from teochat_tpu.models.projector import init_projector
+    from teochat_tpu.ops.quant import random_int8_llama
+    from teochat_tpu.train import lora as lora_mod
+    from teochat_tpu.train import trainer as trainer_mod
+
+    cfg = TEOChatConfig()
+    llm = random_int8_llama(jax.random.PRNGKey(0), cfg.llm)
+    llm = lora_mod.add_lora_params(
+        jax.random.PRNGKey(1), llm, rank=128, alpha=256.0, dtype=jnp.float32
+    )
+    params = {
+        "vision": vit_mod.init_vit(jax.random.PRNGKey(2), cfg.vision, dtype=jnp.bfloat16),
+        "projector": init_projector(jax.random.PRNGKey(3), cfg.projector, dtype=jnp.float32),
+        "llm": llm,
+    }
+    jax.block_until_ready(params["llm"])
+
+    batch, seq = 1, 640
+    ids = [[1] + [IMAGE_TOKEN_INDEX, 7] * 2 + list(range(10, 10 + 123))] * batch
+    plan = fusion_mod.build_fusion_plan(
+        ids, tokens_per_frame=256, pad_to=seq,
+        labels=[[-100] * 5 + r[5:] for r in ids],
+    )
+    frames = jnp.asarray(
+        np.random.RandomState(0).randn(2 * batch, 3, 224, 224), jnp.bfloat16
+    )
+
+    optimizer = trainer_mod.make_optimizer(2e-4, projector_lr=2e-5, total_steps=100)
+    # donate params: without it the init program holds params twice (input +
+    # state output), which OOMs next to the 6.6 GB int8 backbone
+    state = jax.jit(
+        lambda p: trainer_mod.init_train_state(
+            p, optimizer, lora_mod.lora_trainable_filter
+        ),
+        donate_argnums=0,
+    )(params)
+    step = trainer_mod.make_train_step(
+        cfg, optimizer, trainable_filter=lora_mod.lora_trainable_filter,
+        remat=True,
+    )
+    holder = [state]
+
+    def fn():
+        holder[0], loss = step(holder[0], plan, frames)
+        fn.loss = loss
+
+    def sync():
+        float(fn.loss)
+
+    dt = _timeit(fn, iters=3, sync=sync)
+    return {
+        "train_step_s_bs1_seq640": dt,
+        "train_tokens_per_sec": batch * seq / dt,
+    }
+
+
 def phase_e2e():
     """2-frame encode + prefill + 32 new tokens, one process: e2e latency."""
     import numpy as np
@@ -376,6 +442,7 @@ PHASES = {
     "decode_int4": phase_decode_int4,
     "decode_spec": phase_decode_spec,
     "ttft_int8act": phase_ttft_int8act,
+    "train": phase_train,
     "e2e": phase_e2e,
 }
 
@@ -405,7 +472,8 @@ def main():
 
     results = {}
     for name in ("decode", "decode_bs8", "decode_bs16", "decode_bs32",
-                 "decode_int4", "decode_spec", "ttft_int8act", "encode", "e2e"):
+                 "decode_int4", "decode_spec", "ttft_int8act", "train",
+                 "encode", "e2e"):
         _log(f"running phase {name}")
         r = _run_phase_subprocess(name)
         if r:
@@ -452,6 +520,9 @@ def main():
             ),
             "spec_mean_tokens_per_step": round(
                 results.get("spec_mean_tokens_per_step", 0.0), 2
+            ),
+            "train_tokens_per_sec_lora_r128_int8_seq640": round(
+                results.get("train_tokens_per_sec", 0.0), 1
             ),
         },
     }

@@ -206,7 +206,11 @@ def generate_tokens(
 # Greedy-only: emitted tokens are verified against the target model's own
 # argmax, so the output is token-identical to plain greedy decode (same
 # weights, same fp32 softmax path — spec_verify also pins bf16 activations so
-# w8a8 prefill quantization never leaks into the targets).
+# w8a8 prefill quantization never leaks into the targets). Caveat: "identical"
+# holds up to floating-point argmax ties — the (k+1)-token verify program may
+# reduce matmuls in a different order than the 1-token program, and an
+# exactly-tied logit pair can flip (observed only on random-init test models;
+# real checkpoints separate the argmax by far more than the reduction noise).
 #
 # The reference has no speculative path (HF generate one token at a time,
 # inference.py:64-72); this is a beyond-reference capability.

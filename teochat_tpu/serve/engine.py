@@ -108,6 +108,93 @@ def _decode_chunk(params, cache, cfg, chunk, last_tokens, positions, active,
     return toks.T, active, positions, cache
 
 
+@partial(jax.jit, static_argnames=("cfg", "chunk", "spec_k"), donate_argnums=(1,))
+def _decode_chunk_spec(params, cache, cfg, chunk, spec_k, last_tokens, positions,
+                       active, temperature, do_sample, rng, eos_id, pad_id,
+                       hist, hist_len):
+    """Speculative decode chunk: `chunk` iterations, each verifying `spec_k`
+    prompt-lookup drafts in one (spec_k+1)-token forward per row.
+
+    Greedy rows emit 1..spec_k+1 tokens per iteration (token-identical to the
+    plain chunk); sampling rows accept no drafts and emit exactly 1 (their
+    next token is sampled from the block's position-0 logits, so they pay no
+    extra forwards either). Returns (tokens [B, chunk, spec_k+1],
+    counts [B, chunk], active', positions', cache, hist', hist_len').
+
+    `hist`/`hist_len`: per-slot token history (prompt text ids then generated)
+    used for bigram draft lookup — engine-owned device state, rewritten by the
+    host on each slot prefill.
+    """
+    from teochat_tpu.models.generation import _draft_lookup
+
+    b = last_tokens.shape[0]
+    t_max = cache.max_len
+    trash = t_max - 1
+    k = spec_k
+    rows = jnp.arange(b)
+    h_max = hist.shape[1]
+
+    def step(carry, _):
+        tok, pos, act, cache, rng, hist, hist_len = carry
+        step_rng, rng = jax.random.split(rng)
+        # don't run past the cache (trash slot excluded)
+        act = act & (pos + k + 1 < t_max)
+        drafts = _draft_lookup(hist, hist_len, k)  # [B, k]
+        blk = jnp.concatenate([tok[:, None], drafts], axis=1)  # [B, k+1]
+        blk_pos = pos[:, None] + jnp.arange(k + 1)[None, :]
+        write = jnp.where(act[:, None], jnp.minimum(blk_pos, trash - 1), trash)
+        kv_mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1)
+            <= (pos + k)[:, None]
+        )
+        emb = llama_mod.embed_tokens(params, blk)
+        blk_logits, cache = llama_mod.llama_forward(
+            params, cfg, emb, position_ids=blk_pos, cache=cache,
+            write_slots=write, kv_mask=kv_mask, logits_mode="all",
+            spec_verify=True,
+        )  # [B, k+1, V]
+        targets = jnp.argmax(blk_logits, axis=-1).astype(jnp.int32)
+        greedy_row = ~(do_sample & (temperature > 0.0))
+        match = (drafts == targets[:, :k]) & greedy_row[:, None]
+        acc = jnp.cumprod(match.astype(jnp.int32), axis=1).astype(bool)
+
+        toks_out = jnp.full((b, k + 1), pad_id, jnp.int32)
+        counts = jnp.zeros((b,), jnp.int32)
+        cur_act = act
+        new_tok = tok
+        for j in range(k + 1):
+            if j == 0:
+                # the greedy target after `tok`; sampling rows sample instead
+                sampled = _sample_rows(
+                    blk_logits[:, 0], step_rng, temperature, do_sample
+                )
+                emit = jnp.where(greedy_row, targets[:, 0], sampled)
+                valid = cur_act
+            else:
+                emit = targets[:, j]
+                valid = cur_act & acc[:, j - 1]
+            emit = jnp.where(valid, emit, pad_id)
+            toks_out = toks_out.at[:, j].set(emit)
+            counts = counts + valid.astype(jnp.int32)
+            new_tok = jnp.where(valid, emit, new_tok)
+            h_idx = jnp.minimum(hist_len, h_max - 1)
+            old_h = hist[rows, h_idx]
+            hist = hist.at[rows, h_idx].set(jnp.where(valid, emit, old_h))
+            hist_len = hist_len + valid.astype(jnp.int32)
+            cur_act = cur_act & valid & (emit != eos_id)
+        pos = pos + counts
+        act = act & cur_act
+        return (new_tok, pos, act, cache, rng, hist, hist_len), (toks_out, counts)
+
+    (tok, positions, active, cache, _, hist, hist_len), (toks, counts) = jax.lax.scan(
+        step, (last_tokens, positions, active, cache, rng, hist, hist_len),
+        None, length=chunk,
+    )
+    # scan stacks along axis 0: [chunk, B, ...] -> [B, chunk, ...]
+    return (jnp.swapaxes(toks, 0, 1), counts.T, active, positions, cache,
+            hist, hist_len)
+
+
 @dataclasses.dataclass
 class _Request:
     input_ids: List[int]
@@ -143,16 +230,22 @@ class BatchEngine:
     """
 
     def __init__(self, model: teochat_mod.TEOChat, *, max_slots: int = 4,
-                 max_len: int = 2048, chunk: int = 8, kv_dtype=None):
+                 max_len: int = 2048, chunk: int = 8, kv_dtype=None,
+                 speculative_k: int = 0):
         self.model = model
         self.cfg: TEOChatConfig = model.cfg
         self.max_slots = max_slots
         self.max_len = max_len
         self.chunk = chunk
+        self.speculative_k = speculative_k
         dtype = kv_dtype or model._dtype
         self.cache = llama_mod.init_cache(
             self.cfg.llm, max_slots, max_len, dtype=dtype
         )
+        if speculative_k > 0:
+            # per-slot token history for prompt-lookup drafting (device state)
+            self._hist = jnp.full((max_slots, max_len), -1, jnp.int32)
+            self._hist_len = jnp.zeros((max_slots,), jnp.int32)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slots: List[Optional[_Request]] = [None] * max_slots
         self._positions = np.zeros((max_slots,), np.int32)
@@ -199,7 +292,7 @@ class BatchEngine:
         fused_len = len(input_ids) + sum(
             1 for t in input_ids if t == fusion_mod.IMAGE_TOKEN_INDEX
         ) * (self.model.tokens_per_frame - 1)
-        if fused_len + gen.max_new_tokens + 1 > self.max_len:
+        if fused_len + gen.max_new_tokens + self.speculative_k + 1 > self.max_len:
             raise ValueError(
                 f"prompt ({fused_len} fused tokens) + max_new_tokens "
                 f"({gen.max_new_tokens}) exceeds engine max_len {self.max_len}"
@@ -301,6 +394,14 @@ class BatchEngine:
         self._last_tokens[slot] = tok_i
         self._temperature[slot] = req.gen.temperature
         self._do_sample[slot] = req.gen.do_sample
+        if self.speculative_k > 0:
+            # reset this slot's draft history: prompt text ids + first token
+            row = np.full((self.max_len,), -1, np.int32)
+            n = min(len(req.input_ids), self.max_len - 1)
+            row[:n] = req.input_ids[:n]
+            row[n] = tok_i
+            self._hist = self._hist.at[slot].set(jnp.asarray(row))
+            self._hist_len = self._hist_len.at[slot].set(n + 1)
         req.tokens.append(tok_i)
         req.remaining -= 1
         req._push_stream()
@@ -312,24 +413,51 @@ class BatchEngine:
             self._slots[i] is not None for i in range(self.max_slots)
         ])
         self._rng, chunk_rng = jax.random.split(self._rng)
-        toks, act_out, pos_out, self.cache = _decode_chunk(
-            self.model.params["llm"], self.cache, cfg.llm, self.chunk,
-            jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
-            jnp.asarray(active), jnp.asarray(self._temperature),
-            jnp.asarray(self._do_sample), chunk_rng,
-            jnp.asarray(cfg.llm.eos_token_id, jnp.int32),
-            jnp.asarray(cfg.llm.pad_token_id, jnp.int32),
-        )
-        toks = np.asarray(toks)
-        # np.array (copy): np.asarray of a jax array is READ-ONLY, which would
-        # break the next slot prefill's in-place position update
-        self._positions = np.array(pos_out)
-        self._last_tokens = np.array(toks[:, -1])
+        if self.speculative_k > 0:
+            toks3, counts, act_out, pos_out, self.cache, self._hist, \
+                self._hist_len = _decode_chunk_spec(
+                    self.model.params["llm"], self.cache, cfg.llm, self.chunk,
+                    self.speculative_k,
+                    jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
+                    jnp.asarray(active), jnp.asarray(self._temperature),
+                    jnp.asarray(self._do_sample), chunk_rng,
+                    jnp.asarray(cfg.llm.eos_token_id, jnp.int32),
+                    jnp.asarray(cfg.llm.pad_token_id, jnp.int32),
+                    self._hist, self._hist_len,
+                )
+            toks3 = np.asarray(toks3)  # [B, chunk, k+1]
+            counts = np.asarray(counts)  # [B, chunk]
+            slot_tokens = [
+                [int(t) for c in range(self.chunk)
+                 for t in toks3[b, c, : counts[b, c]]]
+                for b in range(self.max_slots)
+            ]
+            last = [
+                (row[-1] if row else self._last_tokens[b])
+                for b, row in enumerate(slot_tokens)
+            ]
+            self._positions = np.array(pos_out)
+            self._last_tokens = np.array(last, np.int32)
+        else:
+            toks, act_out, pos_out, self.cache = _decode_chunk(
+                self.model.params["llm"], self.cache, cfg.llm, self.chunk,
+                jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
+                jnp.asarray(active), jnp.asarray(self._temperature),
+                jnp.asarray(self._do_sample), chunk_rng,
+                jnp.asarray(cfg.llm.eos_token_id, jnp.int32),
+                jnp.asarray(cfg.llm.pad_token_id, jnp.int32),
+            )
+            toks = np.asarray(toks)
+            slot_tokens = [list(map(int, toks[b])) for b in range(self.max_slots)]
+            # np.array (copy): np.asarray of a jax array is READ-ONLY, which
+            # would break the next slot prefill's in-place position update
+            self._positions = np.array(pos_out)
+            self._last_tokens = np.array(toks[:, -1])
         self.stats["chunks"] += 1
         for slot, req in enumerate(self._slots):
             if req is None:
                 continue
-            for t in toks[slot]:
+            for t in slot_tokens[slot]:
                 if req.remaining <= 0:
                     break
                 req.tokens.append(int(t))

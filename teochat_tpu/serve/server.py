@@ -235,6 +235,9 @@ def main(argv=None):
                    help="multiplex concurrent requests over per-request KV slots")
     p.add_argument("--max_slots", type=int, default=4)
     p.add_argument("--max_len", type=int, default=2048)
+    p.add_argument("--speculative_k", type=int, default=0,
+                   help="verify k prompt-lookup drafts per decode step "
+                        "(greedy requests; engine mode only)")
     args = p.parse_args(argv)
 
     from teochat_tpu.serve.chat import Chat
@@ -245,7 +248,8 @@ def main(argv=None):
         from teochat_tpu.serve.engine import BatchEngine
 
         engine = BatchEngine(
-            chat.model, max_slots=args.max_slots, max_len=args.max_len
+            chat.model, max_slots=args.max_slots, max_len=args.max_len,
+            speculative_k=args.speculative_k,
         ).start()
     print(f"serving on {args.host}:{args.port}"
           + (" (continuous batching)" if engine else ""))

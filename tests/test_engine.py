@@ -178,3 +178,66 @@ def test_http_sse_stream(model):
     finally:
         srv.shutdown()
         engine.shutdown()
+
+
+def test_engine_speculative_matches_plain(model):
+    """speculative_k engine reproduces the plain engine's greedy outputs
+    token-for-token, and concurrent mixed traffic still completes."""
+    gen = GenerationConfig(max_new_tokens=8, temperature=0.0, do_sample=False,
+                           stop_strings=())
+    prompts = _prompts(model, 3)
+    expected = [
+        model.generate([ids], frames, gen)[0] for ids, frames in prompts
+    ]
+
+    engine = BatchEngine(model, max_slots=4, max_len=96, chunk=2,
+                         speculative_k=3).start()
+    try:
+        results = [None] * len(prompts)
+        threads = []
+        for i, (ids, frames) in enumerate(prompts):
+            def run(i=i, ids=ids, frames=frames):
+                results[i] = engine.submit(ids, frames, gen)
+            t = threading.Thread(target=run)
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join(timeout=600)
+        assert all(r is not None for r in results)
+        for got, want in zip(results, expected):
+            assert got == want
+    finally:
+        engine.shutdown()
+
+
+def test_engine_speculative_sampling_rows(model):
+    """Sampling rows in a speculative engine accept no drafts but still
+    terminate; a greedy row's output must be independent of its sampling
+    neighbor (compared against the same spec engine running it alone —
+    comparing across program shapes can flip exact fp argmax ties on this
+    random tiny model, so the reference is shape-identical)."""
+    greedy = GenerationConfig(max_new_tokens=6, temperature=0.0,
+                              do_sample=False, stop_strings=())
+    sampling = GenerationConfig(max_new_tokens=6, temperature=1.2,
+                                do_sample=True, stop_strings=())
+
+    engine = BatchEngine(model, max_slots=2, max_len=96, chunk=2,
+                         speculative_k=3).start()
+    try:
+        want = engine.submit([1, 9, 12, 4], None, greedy)  # alone
+        out_g = [None]
+        out_s = [None]
+        tg = threading.Thread(
+            target=lambda: out_g.__setitem__(
+                0, engine.submit([1, 9, 12, 4], None, greedy))
+        )
+        ts = threading.Thread(
+            target=lambda: out_s.__setitem__(
+                0, engine.submit([1, 6, 3, 2, 8], None, sampling))
+        )
+        tg.start(); ts.start()
+        tg.join(timeout=600); ts.join(timeout=600)
+        assert out_g[0] == want
+        assert out_s[0] is not None and 1 <= len(out_s[0]) <= 6
+    finally:
+        engine.shutdown()
