@@ -216,30 +216,45 @@ def generate_tokens(
 # inference.py:64-72); this is a beyond-reference capability.
 
 
-def _draft_lookup(hist: jnp.ndarray, hist_len: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Bigram prompt-lookup drafting.
+def _ngram_match_start(hist: jnp.ndarray, hist_len: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Most recent earlier occurrence of the last n tokens of each row.
 
-    hist: [B, H] token history (prompt text ids then generated ids; pads and
-    image sentinels are negative, so they never match). Finds the most recent
-    earlier occurrence of the last two tokens and proposes the k tokens that
-    followed it. Rows without a match draft zeros (rejected by verification
-    at the cost of nothing — the verify pass runs regardless).
-    Returns [B, k] int32 draft ids (always valid embedding indices).
+    Returns [B] int32: the index where the continuation starts (match start
+    + n), or -1 if the row has no earlier occurrence.
     """
     b, h = hist.shape
     rows = jnp.arange(b)
-    a = hist[rows, jnp.maximum(hist_len - 2, 0)]
-    z = hist[rows, jnp.maximum(hist_len - 1, 0)]
-    idx = jnp.arange(h - 1)
-    m = (hist[:, :-1] == a[:, None]) & (hist[:, 1:] == z[:, None])
-    # candidate start i pairs (i, i+1); exclude the query pair itself
-    m &= idx[None, :] <= (hist_len - 3)[:, None]
-    m &= (hist_len >= 3)[:, None]
-    best = jnp.max(jnp.where(m, idx, -1), axis=1)  # [B], -1 = no match
-    start = best + 2  # continuation begins after the matched bigram
+    idx = jnp.arange(h - n + 1)
+    m = jnp.ones((b, h - n + 1), bool)
+    for j in range(n):
+        qj = hist[rows, jnp.maximum(hist_len - n + j, 0)]
+        m &= hist[:, j : h - n + 1 + j] == qj[:, None]
+    # exclude the query window itself (and anything overlapping its end)
+    m &= idx[None, :] <= (hist_len - n - 1)[:, None]
+    m &= (hist_len >= n + 1)[:, None]
+    best = jnp.max(jnp.where(m, idx, -1), axis=1)
+    return jnp.where(best >= 0, best + n, -1)
+
+
+def _draft_lookup(hist: jnp.ndarray, hist_len: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Prompt-lookup drafting: trigram-first, bigram fallback.
+
+    hist: [B, H] token history (prompt text ids then generated ids; pads and
+    image sentinels are negative, so they never match). Finds the most recent
+    earlier occurrence of the last 3 tokens (falling back to the last 2) and
+    proposes the k tokens that followed it — the longer match has fewer false
+    continuations, the shorter one keeps coverage. Rows without any match
+    draft zeros (rejected by verification at the cost of nothing — the verify
+    pass runs regardless).
+    Returns [B, k] int32 draft ids (always valid embedding indices).
+    """
+    b, h = hist.shape
+    start3 = _ngram_match_start(hist, hist_len, 3)
+    start2 = _ngram_match_start(hist, hist_len, 2)
+    start = jnp.where(start3 >= 0, start3, start2)
     gidx = jnp.clip(start[:, None] + jnp.arange(k)[None, :], 0, h - 1)
     d = jnp.take_along_axis(hist, gidx, axis=1)
-    usable = (best >= 0)[:, None] & (gidx <= (hist_len - 1)[:, None]) & (d >= 0)
+    usable = (start >= 0)[:, None] & (gidx <= (hist_len - 1)[:, None]) & (d >= 0)
     return jnp.where(usable, d, 0).astype(jnp.int32)
 
 

@@ -52,6 +52,18 @@ def test_draft_lookup_matches_recent_ngram():
     assert d[1].tolist() == [0, 0, 0]
 
 
+def test_draft_lookup_trigram_beats_bigram():
+    """When the last THREE tokens recur, the trigram continuation wins over
+    the (more recent but less specific) bigram match."""
+    #                 0  1  2  3  4  5  6  7  8  9 10
+    hist = jnp.asarray([[9, 5, 6, 7, 2, 5, 6, 1, 9, 5, 6]], jnp.int32)
+    lens = jnp.asarray([11], jnp.int32)
+    # query trigram (9, 5, 6) matches at 0 -> continuation hist[3:] = 7, 2
+    # (the bigram (5, 6) would have matched more recently at 5 -> 1, 9)
+    d = np.asarray(gen_mod._draft_lookup(hist, lens, 2))
+    assert d[0].tolist() == [7, 2]
+
+
 def test_draft_lookup_short_history_safe():
     hist = jnp.asarray([[4, -1, -1]], jnp.int32)
     d = np.asarray(gen_mod._draft_lookup(hist, jnp.asarray([1]), 2))
