@@ -345,7 +345,8 @@ def phase_train():
     }
     jax.block_until_ready(params["llm"])
 
-    batch, seq = 1, 640
+    batch = int(os.environ.get("BENCH_TRAIN_BS", "2"))
+    seq = 640
     ids = [[1] + [IMAGE_TOKEN_INDEX, 7] * 2 + list(range(10, 10 + 123))] * batch
     plan = fusion_mod.build_fusion_plan(
         ids, tokens_per_frame=256, pad_to=seq,
@@ -379,7 +380,7 @@ def phase_train():
 
     dt = _timeit(fn, iters=3, sync=sync)
     return {
-        "train_step_s_bs1_seq640": dt,
+        f"train_step_s_bs{batch}_seq640": dt,
         "train_tokens_per_sec": batch * seq / dt,
     }
 

@@ -139,7 +139,6 @@ def generate_tokens(
 
         cache = init_cache(cfg, b, cache_len, dtype=jnp.dtype(kv_dtype))
     t_max = cache.max_len
-    m = stop.keyword_ids.shape[1]
 
     # Padded prompt positions carry position_id 0; routing them to slot 0 would
     # scatter garbage over the real first token's K/V (last-write-wins). They
@@ -155,12 +154,33 @@ def generate_tokens(
         kv_mask=kv_mask,
         logits_mode="last", last_index=seq_lens - 1,
     )
+    tokens, n_gen, _ = _run_decode_loop(
+        params, cfg, cache, logits[:, -1], seq_lens, stop, rng,
+        max_new_tokens=max_new_tokens, temperature=temperature,
+        do_sample=do_sample, top_p=top_p, pad_id=pad_id,
+        emb_dtype=inputs_embeds.dtype,
+    )
+    return tokens, n_gen
+
+
+def _run_decode_loop(params, cfg, cache, logits0, start_pos, stop, rng, *,
+                     max_new_tokens, temperature, do_sample, top_p, pad_id,
+                     emb_dtype):
+    """The shared decode while_loop: sample from logits0, feed, repeat.
+
+    start_pos: [B] cache slot of the first generated token per row (all prior
+    slots hold committed K/V). Returns (tokens [B, max_new_tokens], n_gen [B],
+    cache). Called inside a jit context (generate_tokens / decode_with_cache).
+    """
+    b = start_pos.shape[0]
+    t_max = cache.max_len
+    m = stop.keyword_ids.shape[1]
 
     def step_fn(state):
         (step, cur_rng, cache, tokens, window, done, n_gen, logits) = state
         step_rng, next_rng = jax.random.split(cur_rng)
         tok = sample_token(
-            logits[:, -1], step_rng,
+            logits, step_rng,
             temperature=temperature, do_sample=do_sample, top_p=top_p,
         )
         tok = jnp.where(done, pad_id, tok)
@@ -170,14 +190,15 @@ def generate_tokens(
         newly_done = (tok == stop.eos_id) | _keyword_hit(window, stop)
         done = done | newly_done
 
-        pos = seq_lens + step  # [B]
+        pos = start_pos + step  # [B]
         kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) <= pos[:, None]
-        emb = llama_mod.embed_tokens(params, tok[:, None], dtype=inputs_embeds.dtype)
+        emb = llama_mod.embed_tokens(params, tok[:, None], dtype=emb_dtype)
         logits, cache = llama_mod.llama_forward(
             params, cfg, emb, position_ids=pos[:, None], cache=cache,
             write_slots=pos[:, None], kv_mask=kv_mask, logits_mode="last",
         )
-        return (step + 1, next_rng, cache, tokens, window, done, n_gen, logits)
+        return (step + 1, next_rng, cache, tokens, window, done, n_gen,
+                logits[:, -1])
 
     def cond_fn(state):
         step, _, _, _, _, done, _, _ = state
@@ -187,11 +208,91 @@ def generate_tokens(
     window0 = jnp.full((b, m), -1, jnp.int32)
     state = (
         jnp.asarray(0), rng, cache, tokens0, window0,
-        jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32), logits,
+        jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32), logits0,
     )
     state = jax.lax.while_loop(cond_fn, step_fn, state)
-    (_, _, _, tokens, _, _, n_gen, _) = state
-    return tokens, n_gen
+    (_, _, cache, tokens, _, _, n_gen, _) = state
+    return tokens, n_gen, cache
+
+
+# ------------------------------------------------ incremental (session) API
+#
+# Multi-turn chat re-renders the whole conversation each turn; the reference
+# re-prefills it all through HF generate (teochat_demo.py:513-546). Here a
+# session keeps ONE KV cache across turns (serve/session.py): turn N+1
+# prefills only the suffix after the longest committed prefix, attending to
+# the cached conversation — vision tokens included, so frames are encoded
+# exactly once per conversation.
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def prefill_full(params, cfg, cache, embeds, seq_lens, attention_mask,
+                 position_ids):
+    """Prefill a fresh conversation into an (empty) session cache.
+
+    Returns (last-token logits [B, V], cache). Contiguous panel writes +
+    flash attention (same fast path as generate_tokens' prefill)."""
+    t_max = cache.max_len
+    b = embeds.shape[0]
+    trash = t_max - 1
+    slots = jnp.where(attention_mask, position_ids, trash)
+    kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) < seq_lens[:, None]
+    logits, cache = llama_mod.llama_forward(
+        params, cfg, embeds, position_ids=position_ids, cache=cache,
+        write_slots=slots, kv_mask=kv_mask,
+        logits_mode="last", last_index=seq_lens - 1,
+    )
+    return logits[:, -1], cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def prefill_suffix(params, cfg, cache, embeds, start, seq_lens,
+                   attention_mask, position_ids):
+    """Prefill a conversation SUFFIX against committed cache contents.
+
+    embeds/position_ids/attention_mask/seq_lens describe the right-padded
+    suffix alone (positions 0-based within the suffix); `start` [B] is the
+    fused cache slot where the suffix begins. Runs the spec_verify decode
+    mode: per-slot scatter writes + masked attention over the whole cache, so
+    suffix queries see the committed conversation. Returns
+    (last-token logits [B, V], cache)."""
+    t_max = cache.max_len
+    b = embeds.shape[0]
+    trash = t_max - 1
+    abs_pos = start[:, None] + position_ids
+    slots = jnp.where(attention_mask, abs_pos, trash)
+    kv_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1)
+        < (start + seq_lens)[:, None]
+    )
+    logits, cache = llama_mod.llama_forward(
+        params, cfg, embeds, position_ids=abs_pos, cache=cache,
+        write_slots=slots, kv_mask=kv_mask, logits_mode="last",
+        last_index=seq_lens - 1, spec_verify=True,
+    )
+    return logits[:, -1], cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_new_tokens", "temperature", "do_sample", "top_p", "pad_id", "cfg",
+    ),
+    donate_argnums=(2,),
+)
+def decode_with_cache(params, cfg, cache, logits0, start_pos, stop, rng, *,
+                      max_new_tokens, temperature=0.0, do_sample=False,
+                      top_p=1.0, pad_id=0):
+    """Decode continuing from prefilled logits over an existing cache.
+
+    Returns (tokens, n_gen, cache) — the cache keeps the generated tokens'
+    K/V (all but the last sampled token's), enabling the next session turn."""
+    emb_dtype = cache.k.dtype if cache.k.dtype != jnp.dtype("float8_e4m3fn") else jnp.bfloat16
+    return _run_decode_loop(
+        params, cfg, cache, logits0, start_pos, stop, rng,
+        max_new_tokens=max_new_tokens, temperature=temperature,
+        do_sample=do_sample, top_p=top_p, pad_id=pad_id, emb_dtype=emb_dtype,
+    )
 
 
 # ------------------------------------------------- prompt-lookup speculation

@@ -139,6 +139,8 @@ class Chat:
         load_8bit: bool = True,
         model_bundle=None,
         vision_path: Optional[str] = None,
+        incremental: bool = True,
+        session_max_len: int = 4096,
     ):
         if model_bundle is not None:
             self.tokenizer, self.model, self.processor = model_bundle
@@ -149,11 +151,27 @@ class Chat:
                 model_path, load_8bit=load_8bit, vision_path=vision_path
             )
         self.conv_mode = conv_mode
+        # incremental: keep one KV cache across turns and prefill only each
+        # turn's suffix (serve/session.py). The reference demo re-prefills
+        # the whole conversation every turn.
+        self._session = None
+        if incremental:
+            from teochat_tpu.serve.session import ChatSession
+
+            self._session = ChatSession(self.model, max_len=session_max_len)
         self.reset()
 
     def reset(self) -> None:
         self.history: List[Tuple[str, str]] = []
+        # accumulated image paths/arrays + timestamps: history turns keep
+        # their <image> tokens, which re-expand against ALL frames seen so
+        # far (the reference demo accumulates its img_list the same way,
+        # teochat_demo.py:379-463)
+        self.images: List = []
+        self.timestamps: List[str] = []
         self._first_turn = True
+        if self._session is not None:
+            self._session.reset()
 
     def generate(
         self,
@@ -169,9 +187,11 @@ class Chat:
         carry the full conversation history into the prompt."""
         from teochat_tpu.config import GenerationConfig
 
+        self.images = self.images + list(image_paths)
+        self.timestamps = self.timestamps + list(timestamps)
         input_ids, pixel_values, stop_str, text = build_request(
-            text, image_paths, self.tokenizer, self.processor,
-            conv_mode=self.conv_mode, timestamps=timestamps, bbox=bbox,
+            text, self.images, self.tokenizer, self.processor,
+            conv_mode=self.conv_mode, timestamps=self.timestamps, bbox=bbox,
             history=self.history, first_turn=self._first_turn,
         )
         self._first_turn = False
@@ -181,7 +201,10 @@ class Chat:
             do_sample=temperature > 0,
             stop_strings=(stop_str,),
         )
-        out_ids = self.model.generate([input_ids], pixel_values, gen)[0]
+        if self._session is not None:
+            out_ids = self._session.generate(input_ids, pixel_values, gen)
+        else:
+            out_ids = self.model.generate([input_ids], pixel_values, gen)[0]
         response = self.tokenizer.decode(out_ids).replace("</s>", "").strip()
         self.history.append((text, response))
         return {"response": response, "bboxes": extract_bboxes(response)}
