@@ -318,6 +318,59 @@ def phase_decode_spec():
     }
 
 
+def phase_ttft_turn2():
+    """Multi-turn TTFT: with a ~640-token conversation committed in a session
+    cache, the next turn prefils only its ~64-token suffix (masked attention
+    over the committed KV) instead of re-prefilling everything. Reports the
+    suffix prefill+1-token latency — the incremental-session win over the
+    reference's re-prefill-every-turn serving (teochat_demo.py:513-546)."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from teochat_tpu.config import TEOChatConfig
+    from teochat_tpu.models import fusion as fusion_mod, generation as gen_mod
+    from teochat_tpu.models import llama as llama_mod
+    from teochat_tpu.ops.quant import random_int8_llama
+
+    cfg = TEOChatConfig()
+    llm = random_int8_llama(jax.random.PRNGKey(0), cfg.llm)
+    jax.block_until_ready(llm)
+
+    committed, suffix_len, max_len = 640, 64, 1024
+    cache = llama_mod.init_cache(cfg.llm, 1, max_len, dtype=jnp.bfloat16)
+    # commit a 640-token "turn 1" once (not timed)
+    emb1 = jnp.asarray(
+        np.random.RandomState(0).randn(1, committed, cfg.llm.hidden_size) * 0.02,
+        jnp.bfloat16,
+    )
+    ar = jnp.arange(committed, dtype=jnp.int32)[None]
+    _, cache = gen_mod.prefill_full(
+        llm, cfg.llm, cache, emb1,
+        jnp.asarray([committed], jnp.int32), jnp.ones((1, committed), bool), ar,
+    )
+
+    ids2 = [list(range(10, 10 + suffix_len))]
+    plan2 = fusion_mod.build_fusion_plan(ids2, tokens_per_frame=256, pad_to=128)
+    emb2 = jnp.asarray(
+        np.random.RandomState(1).randn(1, 128, cfg.llm.hidden_size) * 0.02,
+        jnp.bfloat16,
+    )
+    state = {"cache": cache, "logits": None}
+
+    def fn():
+        # the donated cache is re-threaded through state each call
+        state["logits"], state["cache"] = gen_mod.prefill_suffix(
+            llm, cfg.llm, state["cache"], emb2,
+            jnp.asarray([committed], jnp.int32), plan2.seq_lens,
+            plan2.attention_mask, plan2.position_ids,
+        )
+
+    def sync():
+        float(jnp.sum(state["logits"]))
+
+    dt = _timeit(fn, iters=5, sync=sync)
+    return {"ttft_s_turn2_suffix64_over640": dt}
+
+
 def phase_train():
     """One LoRA train step on the flagship recipe shapes (reference
     train_teochat.sh: 8-bit backbone + LoRA r=128/a=256 + trainable projector,
@@ -443,6 +496,7 @@ PHASES = {
     "decode_int4": phase_decode_int4,
     "decode_spec": phase_decode_spec,
     "ttft_int8act": phase_ttft_int8act,
+    "ttft_turn2": phase_ttft_turn2,
     "train": phase_train,
     "e2e": phase_e2e,
 }
@@ -473,8 +527,8 @@ def main():
 
     results = {}
     for name in ("decode", "decode_bs8", "decode_bs16", "decode_bs32",
-                 "decode_int4", "decode_spec", "ttft_int8act", "train",
-                 "encode", "e2e"):
+                 "decode_int4", "decode_spec", "ttft_int8act", "ttft_turn2",
+                 "train", "encode", "e2e"):
         _log(f"running phase {name}")
         r = _run_phase_subprocess(name)
         if r:
@@ -524,6 +578,9 @@ def main():
             ),
             "train_tokens_per_sec_lora_r128_int8_seq640": round(
                 results.get("train_tokens_per_sec", 0.0), 1
+            ),
+            "ttft_s_turn2_suffix64_over640": round(
+                results.get("ttft_s_turn2_suffix64_over640", 0.0), 4
             ),
         },
     }

@@ -131,3 +131,80 @@ def test_shard_params_places_on_mesh():
     # fsdp axis shards fan-in (64/4), model shards fan-out (64/2)
     shard_shapes = {s.data.shape for s in q.addressable_shards}
     assert shard_shapes == {(cfg.llm.num_layers, 64 // 4, 64 // 2)}
+
+
+def test_speculative_decode_sharded_equivalence():
+    """generate_tokens_spec on a (2,2,2) mesh emits the same tokens as on a
+    single device — the spec_verify scatter/masked-attention path must stay
+    correct under GSPMD param sharding (multi-chip speculative serving)."""
+    import jax.numpy as jnp
+
+    from teochat_tpu.models import generation as gen_mod
+    from teochat_tpu.models import llama as llama_mod
+
+    cfg = tiny_test_config().llm
+    params = llama_mod.init_llama(jax.random.PRNGKey(0), cfg)
+    b, s = 2, 8
+    embeds = jnp.asarray(
+        np.random.RandomState(0).randn(b, s, cfg.hidden_size) * 0.1, jnp.float32
+    )
+    pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
+    amask = jnp.ones((b, s), bool)
+    seq_lens = jnp.asarray([s, s], jnp.int32)
+    prompt_ids = jnp.asarray(
+        np.random.RandomState(1).randint(3, 50, (b, s)), jnp.int32
+    )
+    stop = gen_mod.StopSpec(
+        keyword_ids=jnp.zeros((1, 1), jnp.int32),
+        keyword_lens=jnp.zeros((1,), jnp.int32),
+        eos_id=jnp.asarray(-1, jnp.int32),
+    )
+
+    def run(p):
+        toks, n, steps, acc = gen_mod.generate_tokens_spec(
+            p, cfg, embeds, seq_lens, amask, pos, prompt_ids,
+            jnp.asarray([s, s], jnp.int32), stop,
+            max_new_tokens=6, cache_len=s + 6 + 3 + 1, spec_k=3,
+        )
+        return toks, n
+
+    ref_toks, ref_n = (np.asarray(x) for x in run(params))
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, model=2))
+    sharded = shard_params({"llm": params}, mesh)["llm"]
+    with jax.set_mesh(mesh):
+        got_toks, got_n = (np.asarray(x) for x in run(sharded))
+    assert got_n.tolist() == ref_n.tolist()
+    assert got_toks.tolist() == ref_toks.tolist()
+
+
+def test_suffix_prefill_sharded_equivalence():
+    """prefill_suffix logits on the mesh match single-device (incremental
+    sessions under sharded params)."""
+    import jax.numpy as jnp
+
+    from teochat_tpu.models import generation as gen_mod
+    from teochat_tpu.models import llama as llama_mod
+
+    cfg = tiny_test_config().llm
+    params = llama_mod.init_llama(jax.random.PRNGKey(1), cfg)
+    rs = np.random.RandomState(2)
+    emb1 = jnp.asarray(rs.randn(1, 8, cfg.hidden_size) * 0.1, jnp.float32)
+    emb2 = jnp.asarray(rs.randn(1, 8, cfg.hidden_size) * 0.1, jnp.float32)
+    ar = jnp.arange(8, dtype=jnp.int32)[None]
+    ones = jnp.ones((1, 8), bool)
+    lens = jnp.asarray([8], jnp.int32)
+
+    def run(p):
+        cache = llama_mod.init_cache(cfg, 1, 32, dtype=jnp.float32)
+        _, cache = gen_mod.prefill_full(p, cfg, cache, emb1, lens, ones, ar)
+        logits, _ = gen_mod.prefill_suffix(
+            p, cfg, cache, emb2, jnp.asarray([8], jnp.int32), lens, ones, ar
+        )
+        return logits
+
+    ref = np.asarray(run(params))
+    mesh = create_mesh(MeshConfig(data=2, fsdp=2, model=2))
+    sharded = shard_params({"llm": params}, mesh)["llm"]
+    with jax.set_mesh(mesh):
+        got = np.asarray(run(sharded))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
