@@ -269,6 +269,10 @@ def prefill_suffix(params, cfg, cache, embeds, start, seq_lens,
         params, cfg, embeds, position_ids=abs_pos, cache=cache,
         write_slots=slots, kv_mask=kv_mask, logits_mode="last",
         last_index=seq_lens - 1, spec_verify=True,
+        # a suffix prefill is a PREFILL: keep the w8a8 activation path so
+        # sessions match the stateless full-prefill numerics when
+        # int8_prefill_activations is enabled (verify blocks pin bf16)
+        act_quant_ok=True,
     )
     return logits[:, -1], cache
 

@@ -242,12 +242,16 @@ def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False, layer=None) -> jnp
 
 def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
                    write_slots, right_padded=False, layer=None, row_offset=0,
-                   spec_verify=False):
+                   spec_verify=False, act_quant_ok=True):
     # w8a8 projections on the compute-bound prefill only (s>1); decode is
     # bandwidth-bound and keeps bf16 activations. Speculative verify blocks
-    # (s>1 but decode-like) also stay bf16 so the greedy targets match the
-    # plain decode path exactly.
-    act_quant = cfg.int8_prefill_activations and x.shape[1] > 1 and not spec_verify
+    # (s>1 but decode-like) pass act_quant_ok=False so the greedy targets
+    # match the plain decode path exactly; suffix prefills (also routed
+    # through spec_verify's cache mode) keep w8a8 for parity with the
+    # stateless full prefill.
+    act_quant = (
+        cfg.int8_prefill_activations and x.shape[1] > 1 and act_quant_ok
+    )
     y = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
     attn_out, k_cache, v_cache = _attention_layer(
         y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
@@ -281,6 +285,7 @@ def llama_forward(
     right_padded: bool = False,
     cache_row_offset=0,
     spec_verify: bool = False,
+    act_quant_ok: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -294,6 +299,10 @@ def llama_forward(
     """
     x = inputs_embeds
     b, s, _ = x.shape
+    if act_quant_ok is None:
+        # speculative VERIFY blocks must reproduce plain-decode numerics
+        # (bf16 activations); everything else may take the w8a8 prefill path
+        act_quant_ok = not spec_verify
     cos, sin = rope_tables(position_ids, cfg.head_dim, cfg.rope_theta)
 
     q_slots = write_slots  # queries sit at the slots they are being written to
@@ -339,7 +348,7 @@ def llama_forward(
             lp = _slice_layer(params["layers"], l)
             y, kc, vc = layer_fn(
                 y, lp, cfg, cos, sin, kv_mask, q_slots, kc, vc, write_slots,
-                False, l, cache_row_offset, spec_verify,
+                False, l, cache_row_offset, spec_verify, act_quant_ok,
             )
             return (y, kc, vc)
 

@@ -185,8 +185,12 @@ class TEOChat:
         # tokens park their K/V there — generation trash-slot note)
         greedy = not gen.do_sample or gen.temperature == 0.0
         if gen.speculative_k > 0 and greedy:
-            # prompt-lookup speculation (token-identical to plain greedy)
-            s_text = max(len(r) for r in input_ids)
+            # prompt-lookup speculation (token-identical to plain greedy).
+            # prompt_ids' width is a traced shape of the jitted loop — bucket
+            # it like the fused embeds so eval sweeps reuse compiled programs
+            s_text = round_to_bucket(
+                max(len(r) for r in input_ids), SEQ_BUCKETS
+            )
             prompt_ids = np.full((b, s_text), -1, np.int32)
             for i, r in enumerate(input_ids):
                 prompt_ids[i, : len(r)] = r

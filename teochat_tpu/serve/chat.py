@@ -84,6 +84,7 @@ def build_request(
     bbox: Optional[Sequence[float]] = None,
     history: Sequence[Tuple[str, str]] = (),
     first_turn: bool = True,
+    pixel_values=None,
 ):
     """Build (input_ids, pixel_values, stop_str, rendered_text) for one turn.
 
@@ -120,11 +121,14 @@ def build_request(
     prompt = replace_video_token(prompt, image_paths, "interleave")
 
     input_ids = tokenizer_image_token(prompt, tokenizer, IMAGE_TOKEN_INDEX)
-    pixel_values = (
-        processor.preprocess(image_paths)["pixel_values"]
-        if image_paths and prompt.count("<image>")
-        else None
-    )
+    if image_paths and prompt.count("<image>"):
+        # pixel_values: pre-preprocessed frames in the SAME order as
+        # image_paths (callers that cache preprocessing pass them in; the
+        # timestamp sort above must then be a no-op or already applied)
+        if pixel_values is None:
+            pixel_values = processor.preprocess(image_paths)["pixel_values"]
+    else:
+        pixel_values = None
     stop_str = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
     return input_ids, pixel_values, stop_str, text
 
@@ -166,9 +170,12 @@ class Chat:
         # accumulated image paths/arrays + timestamps: history turns keep
         # their <image> tokens, which re-expand against ALL frames seen so
         # far (the reference demo accumulates its img_list the same way,
-        # teochat_demo.py:379-463)
+        # teochat_demo.py:379-463). _frames caches each image's preprocessed
+        # tensor (aligned with self.images) so a frame is decoded/resized on
+        # the host exactly once per conversation.
         self.images: List = []
         self.timestamps: List[str] = []
+        self._frames = None  # np [len(images), 3, H, W]
         self._first_turn = True
         if self._session is not None:
             self._session.reset()
@@ -187,14 +194,46 @@ class Chat:
         carry the full conversation history into the prompt."""
         from teochat_tpu.config import GenerationConfig
 
-        self.images = self.images + list(image_paths)
-        self.timestamps = self.timestamps + list(timestamps)
+        # Stage the accumulated conversation state in locals; commit only
+        # after the turn succeeds so a failed turn cannot pollute the session.
+        new_images = list(image_paths)
+        images_all = self.images + new_images
+        ts_all = self.timestamps + list(timestamps)
+        if ts_all and len(ts_all) != len(images_all):
+            raise ValueError(
+                f"timestamps must cover every frame of the conversation "
+                f"(got {len(ts_all)} timestamps for {len(images_all)} frames); "
+                "either pass one per frame on every turn or never pass any"
+            )
+        frames_all = self._frames
+        if new_images:
+            new_frames = self.processor.preprocess(new_images)["pixel_values"]
+            frames_all = (
+                new_frames if frames_all is None
+                else np.concatenate([frames_all, new_frames], axis=0)
+            )
+        # apply the chronological sort HERE (over cached preprocessed frames)
+        # so build_request's own sort is a stable no-op and frames are never
+        # re-preprocessed
+        if ts_all:
+            from datetime import datetime
+
+            order = sorted(
+                range(len(images_all)),
+                key=lambda i: datetime.strptime(ts_all[i], "%Y-%m-%d"),
+            )
+            images_sorted = [images_all[i] for i in order]
+            ts_sorted = [ts_all[i] for i in order]
+            frames_sorted = frames_all[np.asarray(order)] if frames_all is not None else None
+        else:
+            images_sorted, ts_sorted, frames_sorted = images_all, ts_all, frames_all
+
         input_ids, pixel_values, stop_str, text = build_request(
-            text, self.images, self.tokenizer, self.processor,
-            conv_mode=self.conv_mode, timestamps=self.timestamps, bbox=bbox,
+            text, images_sorted, self.tokenizer, self.processor,
+            conv_mode=self.conv_mode, timestamps=ts_sorted, bbox=bbox,
             history=self.history, first_turn=self._first_turn,
+            pixel_values=frames_sorted,
         )
-        self._first_turn = False
         gen = GenerationConfig(
             max_new_tokens=max_new_tokens,
             temperature=temperature,
@@ -206,6 +245,11 @@ class Chat:
         else:
             out_ids = self.model.generate([input_ids], pixel_values, gen)[0]
         response = self.tokenizer.decode(out_ids).replace("</s>", "").strip()
+        # commit the turn
+        self.images = images_all
+        self.timestamps = ts_all
+        self._frames = frames_all
+        self._first_turn = False
         self.history.append((text, response))
         return {"response": response, "bboxes": extract_bboxes(response)}
 

@@ -160,7 +160,7 @@ def _decode_chunk_spec(params, cache, cfg, chunk, spec_k, last_tokens, positions
 
         toks_out = jnp.full((b, k + 1), pad_id, jnp.int32)
         counts = jnp.zeros((b,), jnp.int32)
-        cur_act = act
+        stopped = jnp.zeros((b,), bool)  # row hit EOS inside this block
         new_tok = tok
         for j in range(k + 1):
             if j == 0:
@@ -169,10 +169,11 @@ def _decode_chunk_spec(params, cache, cfg, chunk, spec_k, last_tokens, positions
                     blk_logits[:, 0], step_rng, temperature, do_sample
                 )
                 emit = jnp.where(greedy_row, targets[:, 0], sampled)
-                valid = cur_act
+                valid = act
             else:
+                # emission chain: cumulative acceptance, cut at an EOS
+                valid = act & acc[:, j - 1] & ~stopped
                 emit = targets[:, j]
-                valid = cur_act & acc[:, j - 1]
             emit = jnp.where(valid, emit, pad_id)
             toks_out = toks_out.at[:, j].set(emit)
             counts = counts + valid.astype(jnp.int32)
@@ -181,9 +182,11 @@ def _decode_chunk_spec(params, cache, cfg, chunk, spec_k, last_tokens, positions
             old_h = hist[rows, h_idx]
             hist = hist.at[rows, h_idx].set(jnp.where(valid, emit, old_h))
             hist_len = hist_len + valid.astype(jnp.int32)
-            cur_act = cur_act & valid & (emit != eos_id)
+            stopped = stopped | (valid & (emit == eos_id))
         pos = pos + counts
-        act = act & cur_act
+        # only EOS (and the capacity guard above) deactivates a row — a
+        # rejected draft just ends this iteration's emission chain
+        act = act & ~stopped
         return (new_tok, pos, act, cache, rng, hist, hist_len), (toks_out, counts)
 
     (tok, positions, active, cache, _, hist, hist_len), (toks, counts) = jax.lax.scan(

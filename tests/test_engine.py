@@ -241,3 +241,22 @@ def test_engine_speculative_sampling_rows(model):
         assert out_s[0] is not None and 1 <= len(out_s[0]) <= 6
     finally:
         engine.shutdown()
+
+
+def test_engine_speculative_no_stall_on_rejected_drafts(model):
+    """Regression: a row whose drafts are rejected (sampling rows always
+    reject) must still emit ~1 token per chunk iteration — the original
+    implementation deactivated it until the next chunk boundary, making the
+    speculative engine slower than the plain one."""
+    engine = BatchEngine(model, max_slots=1, max_len=96, chunk=4,
+                         speculative_k=3).start()
+    try:
+        sampling = GenerationConfig(max_new_tokens=9, temperature=1.2,
+                                    do_sample=True, stop_strings=())
+        out = engine.submit([1, 6, 3, 2, 8], None, sampling)
+        assert out is not None
+        # 1 prefill token + 8 more; 4 iterations/chunk at >=1 token each
+        # => at most 3 chunks (stalling burned one chunk per token: >= 8)
+        assert engine.stats["chunks"] <= 3, engine.stats
+    finally:
+        engine.shutdown()

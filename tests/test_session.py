@@ -101,3 +101,27 @@ def test_chat_non_incremental_still_works(model):
                 incremental=False)
     r = chat.generate("Hello", [], temperature=0.0, max_new_tokens=3)
     assert isinstance(r["response"], str)
+
+
+def test_session_matches_stateless_with_w8a8_prefill():
+    """int8_prefill_activations: the suffix prefill must take the same w8a8
+    path as the stateless full prefill (parity beyond bf16)."""
+    import dataclasses
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, int8_prefill_activations=True)
+    )
+    from teochat_tpu.ops.quant import quantize_llama_params
+
+    params = init_teochat(jax.random.PRNGKey(0), cfg)
+    params = dict(params, llm=quantize_llama_params(params["llm"]))
+    model = TEOChat(cfg, params, tokenizer=MockTokenizer())
+    session = ChatSession(model, max_len=512)
+    gen = _greedy(5)
+    convo = [1, 5, 9, 4, 7]
+    for turn in range(2):
+        want = model.generate([convo], None, gen)[0]
+        got = session.generate(convo, None, gen)
+        assert got == want, f"turn {turn}: {got} != {want}"
+        convo = convo + got + [11 + turn, 6]
