@@ -318,6 +318,57 @@ def phase_decode_spec():
     }
 
 
+def phase_serve():
+    """Continuous-batching serving throughput: 8 concurrent requests through
+    the BatchEngine (per-request prefill + chunked multiplexed decode + host
+    scheduling at chunk boundaries) — the end-to-end serving number, unlike
+    decode_bs8 which times the raw decode loop. The reference serves one
+    request at a time (gradio Chat)."""
+    import threading
+    import time as _time
+
+    import jax, jax.numpy as jnp
+    from teochat_tpu.config import GenerationConfig, TEOChatConfig
+    from teochat_tpu.models import teochat as teochat_mod
+    from teochat_tpu.ops.quant import random_int8_llama
+    from teochat_tpu.serve.engine import BatchEngine
+
+    cfg = TEOChatConfig()
+    llm = random_int8_llama(jax.random.PRNGKey(0), cfg.llm)
+    jax.block_until_ready(llm)
+    model = teochat_mod.TEOChat(cfg, {"llm": llm})
+
+    n_req, max_new = 8, 64
+    gen = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                           do_sample=False, stop_strings=())
+    prompts = [[1] + list(range(10 + i, 10 + i + 120)) for i in range(n_req)]
+    engine = BatchEngine(model, max_slots=8, max_len=512, chunk=8).start()
+    try:
+        engine.submit(prompts[0], None, gen)  # warmup: compile prefill+chunk
+
+        def run_all():
+            threads = [
+                threading.Thread(target=engine.submit, args=(p, None, gen))
+                for p in prompts
+            ]
+            t0 = _time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            return _time.perf_counter() - t0
+
+        times = sorted(run_all() for _ in range(3))
+        dt = times[1]
+        return {
+            "serve_aggregate_tokens_per_sec_8streams": n_req * max_new / dt,
+            "serve_8x64tok_wall_s": dt,
+            "serve_max_concurrent": engine.stats["max_concurrent"],
+        }
+    finally:
+        engine.shutdown()
+
+
 def phase_ttft_turn2():
     """Multi-turn TTFT: with a ~640-token conversation committed in a session
     cache, the next turn prefils only its ~64-token suffix (masked attention
@@ -497,6 +548,7 @@ PHASES = {
     "decode_spec": phase_decode_spec,
     "ttft_int8act": phase_ttft_int8act,
     "ttft_turn2": phase_ttft_turn2,
+    "serve": phase_serve,
     "train": phase_train,
     "e2e": phase_e2e,
 }
@@ -528,7 +580,7 @@ def main():
     results = {}
     for name in ("decode", "decode_bs8", "decode_bs16", "decode_bs32",
                  "decode_int4", "decode_spec", "ttft_int8act", "ttft_turn2",
-                 "train", "encode", "e2e"):
+                 "serve", "train", "encode", "e2e"):
         _log(f"running phase {name}")
         r = _run_phase_subprocess(name)
         if r:
@@ -581,6 +633,9 @@ def main():
             ),
             "ttft_s_turn2_suffix64_over640": round(
                 results.get("ttft_s_turn2_suffix64_over640", 0.0), 4
+            ),
+            "serve_aggregate_tokens_per_sec_8streams": round(
+                results.get("serve_aggregate_tokens_per_sec_8streams", 0.0), 1
             ),
         },
     }

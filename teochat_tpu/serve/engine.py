@@ -27,7 +27,7 @@ import dataclasses
 import queue
 import threading
 from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -430,6 +430,13 @@ class BatchEngine:
                 )
             toks3 = np.asarray(toks3)  # [B, chunk, k+1]
             counts = np.asarray(counts)  # [B, chunk]
+            emitting = counts > 0
+            self.stats["spec_iterations"] = (
+                self.stats.get("spec_iterations", 0) + int(emitting.sum())
+            )
+            self.stats["spec_tokens"] = (
+                self.stats.get("spec_tokens", 0) + int(counts.sum())
+            )
             slot_tokens = [
                 [int(t) for c in range(self.chunk)
                  for t in toks3[b, c, : counts[b, c]]]

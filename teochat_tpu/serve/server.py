@@ -171,6 +171,16 @@ class ChatServer:
             def do_GET(self):
                 if self.path == "/health":
                     self._send(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    stats = dict(server.engine.stats) if server.engine else {}
+                    stats["mode"] = (
+                        "continuous_batching" if server.engine else "session"
+                    )
+                    if stats.get("spec_iterations"):
+                        stats["spec_mean_tokens_per_step"] = round(
+                            stats["spec_tokens"] / stats["spec_iterations"], 3
+                        )
+                    self._send(200, stats)
                 else:
                     self._send(404, {"error": "not found"})
 

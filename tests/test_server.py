@@ -89,3 +89,11 @@ def test_unknown_route(server):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_stats_endpoint(server):
+    port = server._httpd.server_address[1]
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+        assert r.status == 200
+        stats = json.loads(r.read())
+    assert stats["mode"] == "session"  # no engine attached in this fixture
