@@ -139,9 +139,11 @@ class GenerationConfig:
     do_sample: bool = True
     top_p: float = 1.0
     stop_strings: Tuple[str, ...] = ("</s>",)
-    # Greedy-only prompt-lookup speculation: verify this many drafted tokens
-    # per decode step (0 = off). Token-identical to plain greedy; ignored
-    # when do_sample/temperature sampling is active.
+    # Prompt-lookup speculation: verify this many drafted tokens per decode
+    # step (0 = off). Greedy runs are token-identical to the plain path;
+    # temperature/top-p sampling runs use exact speculative sampling
+    # (distribution-identical, but randomness is consumed differently so
+    # outputs are not seed-reproducible vs the plain path).
     speculative_k: int = 0
 
 

@@ -176,8 +176,10 @@ def main(argv=None):
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--max_new_tokens", type=int, default=256)
     parser.add_argument("--batch_size", type=int, default=1)
-    # prompt-lookup speculative decoding for greedy runs (--temperature 0):
-    # verifies k drafted tokens per decode step; outputs are token-identical
+    # prompt-lookup speculative decoding: verifies k drafted tokens per
+    # decode step. Greedy runs (--temperature 0) are token-identical;
+    # sampling runs are distribution-exact (residual rejection sampling)
+    # but not seed-reproducible vs the plain path.
     parser.add_argument("--speculative_k", type=int, default=0)
     parser.add_argument("--vision_path", type=str, default=None)
     args = parser.parse_args(argv)

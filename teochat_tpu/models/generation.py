@@ -84,16 +84,23 @@ def sample_token(
     """Greedy or temperature/top-p sampling. Static branch (python bools)."""
     if not do_sample or temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = _filtered_logits(logits, temperature, top_p)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def _filtered_logits(logits: jnp.ndarray, temperature: float, top_p: float) -> jnp.ndarray:
+    """Temperature-scaled logits with tokens outside the top-p nucleus masked.
+    Works on [..., V] (trailing vocab axis)."""
     logits = logits / temperature
     if top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         # keep tokens until cumulative prob exceeds top_p (always keep top-1)
-        cutoff_idx = jnp.sum(cum < top_p, axis=-1)  # [B]
-        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)  # [...]
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[..., None], axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    return logits
 
 
 @partial(
@@ -363,10 +370,25 @@ def _draft_lookup(hist: jnp.ndarray, hist_len: jnp.ndarray, k: int) -> jnp.ndarr
     return jnp.where(usable, d, 0).astype(jnp.int32)
 
 
+def _sample_excluding(logits, rng, temperature, top_p, excluded):
+    """Sample from the (temperature/top-p filtered) distribution with one
+    token's mass removed and the rest renormalized — the RESIDUAL of
+    speculative rejection sampling against a point-mass proposal.
+    excluded: [B] token id, or -1 for no exclusion (plain sampling)."""
+    lf = _filtered_logits(logits, temperature, top_p)
+    v = lf.shape[-1]
+    excl = (
+        (jnp.arange(v)[None, :] == excluded[:, None]) & (excluded >= 0)[:, None]
+    )
+    lf = jnp.where(excl, -jnp.inf, lf)
+    return jax.random.categorical(rng, lf, axis=-1).astype(jnp.int32)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "pad_id", "cache_len", "kv_dtype", "spec_k",
+        "temperature", "do_sample", "top_p",
     ),
 )
 def generate_tokens_spec(
@@ -379,22 +401,41 @@ def generate_tokens_spec(
     prompt_ids: jnp.ndarray,  # [B, S_text] text token ids (pad/sentinel < 0)
     prompt_id_lens: jnp.ndarray,  # [B] valid text ids per row
     stop: StopSpec,
+    rng: Optional[jax.Array] = None,
     *,
     max_new_tokens: int,
     pad_id: int = 0,
     cache_len: Optional[int] = None,
     kv_dtype: str = "bfloat16",
     spec_k: int = 4,
+    temperature: float = 0.0,
+    do_sample: bool = False,
+    top_p: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Greedy decode with prompt-lookup speculation.
+    """Decode with prompt-lookup speculation (greedy or sampling).
 
     Returns (tokens [B, max_new_tokens], n_gen [B], steps, drafts_accepted) —
     `steps` is the number of verify iterations actually run (scalar int32);
-    tokens/s speedup over plain greedy is ~ max_new_tokens_emitted / steps.
-    Token-identical to generate_tokens(..., do_sample=False).
+    tokens/s speedup over plain decode is ~ max_new_tokens_emitted / steps.
+
+    Greedy (do_sample=False / temperature 0): token-identical to
+    generate_tokens(..., do_sample=False) — drafts are accepted iff they
+    equal the model's own argmax.
+
+    Sampling (do_sample=True, temperature > 0): exact speculative sampling
+    against the point-mass draft proposal — draft d is accepted with
+    probability P_target(d) (temperature/top-p filtered), and on rejection
+    the next token is drawn from the residual distribution (P with d's mass
+    removed, renormalized), so every emitted token is distributed EXACTLY as
+    plain sampling. Outputs are not seed-reproducible vs generate_tokens
+    (different randomness consumption), only distribution-identical.
     """
     b, s, _ = inputs_embeds.shape
     from teochat_tpu.models.llama import init_cache
+
+    sampling = do_sample and temperature > 0.0
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     cache = init_cache(cfg, b, cache_len, dtype=jnp.dtype(kv_dtype))
     t_max = cache.max_len
@@ -444,9 +485,17 @@ def generate_tokens_spec(
 
     def step_fn(state):
         (cache, tokens, window, done, n_gen, hist, hist_len, logits,
-         steps, accepted) = state
-        # the carried logits continue the last recorded token's context
-        tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+         cur_rng, rejected, steps, accepted) = state
+        # the carried logits continue the last recorded token's context;
+        # `rejected` is the draft the previous iteration's chain rejected
+        # (sampling: tok0 must come from the residual distribution)
+        if sampling:
+            tok_rng, u_rng, next_rng = jax.random.split(cur_rng, 3)
+            tok0 = _sample_excluding(logits, tok_rng, temperature, top_p,
+                                     rejected)
+        else:
+            u_rng, next_rng = cur_rng, cur_rng
+            tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok0 = jnp.where(done, pad_id, tok0)
         pos0 = seq_lens + n_gen  # cache slot of tok0, per row
         valid0 = ~done
@@ -468,11 +517,22 @@ def generate_tokens_spec(
             write_slots=blk_pos, kv_mask=kv_mask, logits_mode="all",
             spec_verify=True,
         )  # [B, k+1, V]
-        targets = jnp.argmax(blk_logits, axis=-1).astype(jnp.int32)  # [B, k+1]
 
-        # draft j (blk position j, 1-indexed) is correct iff it equals the
-        # greedy target after position j-1 AND all earlier drafts matched
-        match = drafts == targets[:, :k]  # [B, k]
+        if sampling:
+            # accept draft j with prob P_{j-1}(d_j) — exact speculative
+            # sampling against the point-mass (deterministic) draft proposal
+            p = jax.nn.softmax(
+                _filtered_logits(blk_logits[:, :k], temperature, top_p),
+                axis=-1,
+            )  # [B, k, V]
+            pd = jnp.take_along_axis(p, drafts[..., None], axis=-1)[..., 0]
+            u = jax.random.uniform(u_rng, (b, k))
+            match = u < pd
+        else:
+            # draft j is correct iff it equals the greedy target after
+            # position j-1 (AND all earlier drafts matched — cumprod below)
+            targets = jnp.argmax(blk_logits, axis=-1).astype(jnp.int32)
+            match = drafts == targets[:, :k]
         acc = jnp.cumprod(match.astype(jnp.int32), axis=1).astype(bool)
         rec = jnp.zeros((b,), jnp.int32)  # drafts recorded this iteration
         for j in range(k):
@@ -483,10 +543,16 @@ def generate_tokens_spec(
             )
             rec = rec + valid.astype(jnp.int32)
         accepted = accepted + jnp.sum(rec)
-        # next iteration samples from the logits after the last recorded token
+        # next iteration samples from the logits after the last recorded
+        # token; if the chain stopped on a STATISTICAL rejection (not a
+        # done/max cap), the rejected draft's mass must be excluded there
         logits = blk_logits[rows, rec]
+        if sampling:
+            first_try = drafts[rows, jnp.minimum(rec, k - 1)]
+            was_rejected = (rec < k) & ~match[rows, jnp.minimum(rec, k - 1)]
+            rejected = jnp.where(was_rejected, first_try, -1)
         return (cache, tokens, window, done, n_gen, hist, hist_len, logits,
-                steps + 1, accepted)
+                next_rng, rejected, steps + 1, accepted)
 
     def cond_fn(state):
         done = state[3]
@@ -498,8 +564,9 @@ def generate_tokens_spec(
         cache, tokens0, window0, jnp.zeros((b,), bool),
         jnp.zeros((b,), jnp.int32), hist0,
         jnp.asarray(prompt_id_lens, jnp.int32), logits0,
+        rng, jnp.full((b,), -1, jnp.int32),
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
     )
     state = jax.lax.while_loop(cond_fn, step_fn, state)
-    (_, tokens, _, _, n_gen, _, _, _, steps, accepted) = state
+    (_, tokens, _, _, n_gen, _, _, _, _, _, steps, accepted) = state
     return tokens, n_gen, steps, accepted

@@ -183,9 +183,11 @@ class TEOChat:
 
         # cache is allocated inside the program (+1 spare slot: padded prefill
         # tokens park their K/V there — generation trash-slot note)
-        greedy = not gen.do_sample or gen.temperature == 0.0
-        if gen.speculative_k > 0 and greedy:
-            # prompt-lookup speculation (token-identical to plain greedy).
+        if gen.speculative_k > 0:
+            # prompt-lookup speculation: greedy runs are token-identical to
+            # the plain path; sampling runs are distribution-exact (residual
+            # rejection sampling) but consume randomness differently, so they
+            # are not seed-reproducible vs the plain path.
             # prompt_ids' width is a traced shape of the jitted loop — bucket
             # it like the fused embeds so eval sweeps reuse compiled programs
             s_text = round_to_bucket(
@@ -199,12 +201,15 @@ class TEOChat:
                 self.params["llm"], cfg.llm, embeds,
                 plan.seq_lens, plan.attention_mask, plan.position_ids,
                 jnp.asarray(prompt_ids), jnp.asarray(prompt_lens),
-                stop_spec,
+                stop_spec, rng,
                 max_new_tokens=gen.max_new_tokens,
                 pad_id=cfg.llm.pad_token_id,
                 cache_len=pad_to + gen.max_new_tokens + gen.speculative_k + 1,
                 kv_dtype=str(jnp.dtype(self._dtype)),
                 spec_k=gen.speculative_k,
+                temperature=gen.temperature,
+                do_sample=gen.do_sample,
+                top_p=gen.top_p,
             )
             self.last_spec_stats = {
                 "steps": int(steps), "drafts_accepted": int(accepted),
