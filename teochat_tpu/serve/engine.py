@@ -250,6 +250,7 @@ class BatchEngine:
             self._hist = jnp.full((max_slots, max_len), -1, jnp.int32)
             self._hist_len = jnp.zeros((max_slots,), jnp.int32)
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._dead: Optional[str] = None  # fatal scheduler error, if any
         self._slots: List[Optional[_Request]] = [None] * max_slots
         self._positions = np.zeros((max_slots,), np.int32)
         self._last_tokens = np.zeros((max_slots,), np.int32)
@@ -266,6 +267,8 @@ class BatchEngine:
                pixel_values: Optional[np.ndarray] = None,
                gen: Optional[GenerationConfig] = None) -> List[int]:
         """Enqueue one request; blocks until done; returns generated ids."""
+        if self._dead:
+            raise RuntimeError(f"engine failed: {self._dead}")
         gen = gen or GenerationConfig()
         req = self._make_request(input_ids, pixel_values, gen)
         self._queue.put(req)
@@ -279,6 +282,8 @@ class BatchEngine:
                       gen: Optional[GenerationConfig] = None):
         """Enqueue one request; yields lists of fresh token ids per decode
         chunk as they are produced (SSE-friendly). Raises on request error."""
+        if self._dead:
+            raise RuntimeError(f"engine failed: {self._dead}")
         gen = gen or GenerationConfig()
         req = self._make_request(input_ids, pixel_values, gen)
         req.stream_q = queue.Queue()
@@ -318,7 +323,32 @@ class BatchEngine:
 
     def run_forever(self):
         while not self._stop:
-            made_progress = self._step_once(block=all(s is None for s in self._slots))
+            try:
+                made_progress = self._step_once(
+                    block=all(s is None for s in self._slots)
+                )
+            except Exception as e:  # noqa: BLE001 — fatal: fail everything
+                # A decode-time error (device OOM, wedged backend, ...) must
+                # not hang callers: fail every in-flight and queued request
+                # and refuse new ones. The reference has no equivalent (its
+                # serving is a single blocking call).
+                self._dead = f"{type(e).__name__}: {e}"
+                for slot, req in enumerate(self._slots):
+                    if req is not None:
+                        self._slots[slot] = None
+                        req.error = f"engine failed: {self._dead}"
+                        req._push_stream(final=True)
+                        req.event.set()
+                while True:
+                    try:
+                        req = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if req is not None:
+                        req.error = f"engine failed: {self._dead}"
+                        req._push_stream(final=True)
+                        req.event.set()
+                return
             if not made_progress and self._stop:
                 return
 

@@ -260,3 +260,25 @@ def test_engine_speculative_no_stall_on_rejected_drafts(model):
         assert engine.stats["chunks"] <= 3, engine.stats
     finally:
         engine.shutdown()
+
+
+def test_engine_fatal_error_fails_requests(model, monkeypatch):
+    """A decode-time crash must fail in-flight + queued requests and refuse
+    new ones — not hang callers on a dead scheduler thread."""
+    from teochat_tpu.serve import engine as engine_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    monkeypatch.setattr(engine_mod, "_decode_chunk", boom)
+    engine = BatchEngine(model, max_slots=2, max_len=64, chunk=2).start()
+    try:
+        gen = GenerationConfig(max_new_tokens=6, temperature=0.0,
+                               do_sample=False, stop_strings=())
+        with pytest.raises(RuntimeError, match="engine failed"):
+            engine.submit([1, 9, 12, 4], None, gen)
+        # engine is dead: new submissions are refused immediately
+        with pytest.raises(RuntimeError, match="engine failed"):
+            engine.submit([1, 2, 3], None, gen)
+    finally:
+        engine.shutdown()
