@@ -342,7 +342,11 @@ def phase_serve():
     gen = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
                            do_sample=False, stop_strings=())
     prompts = [[1] + list(range(10 + i, 10 + i + 120)) for i in range(n_req)]
-    engine = BatchEngine(model, max_slots=8, max_len=512, chunk=8).start()
+    # chunk=16: each chunk call carries ~39 ms of fixed dispatch/tunnel
+    # overhead on top of 13.4 ms/step device time (measured), so throughput
+    # workloads want bigger chunks; latency-sensitive ones want smaller
+    # (admission waits up to one chunk).
+    engine = BatchEngine(model, max_slots=8, max_len=512, chunk=16).start()
     try:
         engine.submit(prompts[0], None, gen)  # warmup: compile prefill+chunk
 

@@ -8,10 +8,12 @@ persistent KV cache:
 
 - each request prefills into its own cache row (`cache_row_offset` dus,
   models/llama.py) while other rows keep decoding between chunks;
-- decode runs in jitted CHUNKS of `chunk` tokens over all slots (the remote-
-  TPU tunnel floors each host<->device round trip at ~2 ms, so per-token host
-  scheduling would cap the whole engine; chunking amortizes it at the cost of
-  up to chunk-1 wasted steps after a row finishes);
+- decode runs in jitted CHUNKS of `chunk` tokens over all slots (measured on
+  the v5e tunnel: each chunk CALL costs ~39 ms fixed dispatch overhead plus
+  ~13.4 ms/step of device time at bs=8, so per-token host scheduling would
+  cap the engine around 70 tok/s; bigger chunks amortize the fixed cost —
+  chunk=16 for throughput — at the cost of admission latency and up to
+  chunk-1 wasted steps after a row finishes);
 - admission/completion happens on the host at chunk boundaries: finished rows
   free their slot, queued requests prefill into free slots;
 - greedy rows reproduce the single-request outputs EXACTLY (same kernels,
@@ -41,25 +43,34 @@ from teochat_tpu.models import teochat as teochat_mod
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def _prefill_slot(params, cache, cfg, embeds, position_ids, seq_len, slot):
-    """Prefill one request (embeds [1, S, D]) into cache row `slot`.
+def _prefill_slot(params, cache, cfg, plan, vision_tokens, slot,
+                  temperature, do_sample, rng):
+    """Prefill one request into cache row `slot` and sample its first token.
 
-    Returns (last-token logits [1, V], cache). The dus write touches only
-    rows [slot, slot+1); other rows' K/V are untouched. Right-padded prompts:
-    causal attention over the fresh K/V keeps pad keys invisible to valid
-    queries, and the garbage pad outputs are discarded by last_index.
+    ONE program covers token embedding + vision fusion + decoder prefill +
+    sampling (each separate dispatch costs ~2-5 ms through the TPU tunnel,
+    paid per admission). Returns (first sampled token [1], cache). The dus
+    write touches only rows [slot, slot+1); other rows' K/V are untouched.
+    Right-padded prompts: causal attention over the fresh K/V keeps pad keys
+    invisible to valid queries; garbage pad outputs are discarded by
+    last_index.
     """
+    text_emb = llama_mod.embed_tokens(
+        params, plan.text_ids, dtype=vision_tokens.dtype
+    )
+    embeds = fusion_mod.fuse(text_emb, vision_tokens, plan)
     logits, cache = llama_mod.llama_forward(
         params, cfg, embeds,
-        position_ids=position_ids,
+        position_ids=plan.position_ids,
         cache=cache,
-        write_slots=position_ids,  # unused for contiguous prefill writes
+        write_slots=plan.position_ids,  # unused for contiguous prefill writes
         kv_mask=None,
         logits_mode="last",
-        last_index=seq_len - 1,
+        last_index=plan.seq_lens - 1,
         cache_row_offset=slot,
     )
-    return logits[:, 0], cache
+    tok = _sample_rows(logits[:, 0], rng, temperature, do_sample)
+    return tok, cache
 
 
 def _sample_rows(logits, rng, temperature, do_sample):
@@ -410,17 +421,14 @@ class BatchEngine:
             [req.input_ids], tokens_per_frame=model.tokens_per_frame,
             max_length=self.max_len, pad_to=pad_to,
         )
-        embeds = teochat_mod.multimodal_embeds(model.params, cfg, plan, vision_tokens)
-        logits, self.cache = _prefill_slot(
-            model.params["llm"], self.cache, cfg.llm, embeds,
-            plan.position_ids, plan.seq_lens, jnp.asarray(slot, jnp.int32),
-        )
-        # first sampled token comes from the prefill logits
         self._rng, step_rng = jax.random.split(self._rng)
-        tok = _sample_rows(
-            logits, step_rng,
+        tok, self.cache = _prefill_slot(
+            model.params["llm"], self.cache, cfg.llm, plan,
+            vision_tokens.astype(self.model._dtype),
+            jnp.asarray(slot, jnp.int32),
             jnp.asarray([req.gen.temperature], jnp.float32),
             jnp.asarray([req.gen.do_sample], bool),
+            step_rng,
         )
         tok_i = int(tok[0])
         self._positions[slot] = int(plan.seq_lens[0])
