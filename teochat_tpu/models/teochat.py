@@ -62,16 +62,24 @@ def encode_frames(
     return proj_mod.projector_forward(params["projector"], cfg.projector, feats)
 
 
+def fuse_embeds(
+    llm_params: Params, plan: fusion_mod.FusionPlan, vision_tokens: jnp.ndarray
+) -> jnp.ndarray:
+    """Token embeddings + vision splice -> [B, L, D] (trace-time helper;
+    shared by multimodal_embeds and the serving engine's fused prefill)."""
+    text_emb = llama_mod.embed_tokens(
+        llm_params, plan.text_ids, dtype=vision_tokens.dtype
+    )
+    return fusion_mod.fuse(text_emb, vision_tokens, plan)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def multimodal_embeds(
     params: Params, cfg: TEOChatConfig, plan: fusion_mod.FusionPlan,
     vision_tokens: jnp.ndarray,
 ) -> jnp.ndarray:
     """Token embeddings + vision splice -> [B, L, D]."""
-    text_emb = llama_mod.embed_tokens(
-        params["llm"], plan.text_ids, dtype=vision_tokens.dtype
-    )
-    return fusion_mod.fuse(text_emb, vision_tokens, plan)
+    return fuse_embeds(params["llm"], plan, vision_tokens)
 
 
 @partial(jax.jit, static_argnames=("cfg", "remat"))

@@ -62,18 +62,11 @@ def ring_attention(
     m0 = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, h, s_loc), jnp.float32)
     acc0 = jnp.zeros((b, h, s_loc, d), jnp.float32)
-    # the accumulators become device-varying once updated from this shard's
-    # data; mark the (constant) initial values varying so the scan carry
-    # type-checks under shard_map's varying-manual-axes tracking
-    m0, l0, acc0 = (
-        jax.lax.pcast(x, (axis_name,), to="varying") for x in (m0, l0, acc0)
-    )
 
     perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
 
-    def step(carry, i):
-        k_blk, v_blk, m, l, acc = carry
-        # the block we hold at ring step i originated on device (idx - i) % n
+    def block_update(k_blk, v_blk, i, m, l, acc):
+        # the block held at ring step i originated on device (idx - i) % n
         src = (idx - i) % axis_size
         k_pos = src * s_loc + jnp.arange(s_loc)
         s = jnp.einsum(
@@ -91,12 +84,22 @@ def ring_attention(
         acc = acc * alpha[..., None] + jnp.einsum(
             "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32)
         )
+        return m_new, l, acc
+
+    # step 0 consumes the resident block; each later step rotates FIRST and
+    # then consumes, so no rotation's result is ever discarded (exactly
+    # axis_size - 1 neighbor ppermutes per call)
+    m, l, acc = block_update(k, v, jnp.asarray(0), m0, l0, acc0)
+
+    def step(carry, i):
+        k_blk, v_blk, m, l, acc = carry
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        return (k_blk, v_blk, m_new, l, acc), None
+        m, l, acc = block_update(k_blk, v_blk, i, m, l, acc)
+        return (k_blk, v_blk, m, l, acc), None
 
     (_, _, m, l, acc), _ = jax.lax.scan(
-        step, (k, v, m0, l0, acc0), jnp.arange(axis_size)
+        step, (k, v, m, l, acc), jnp.arange(1, axis_size)
     )
     # rows with no visible keys (can't happen for causal self-attention, but
     # guard the division anyway)

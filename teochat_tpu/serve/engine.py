@@ -55,10 +55,7 @@ def _prefill_slot(params, cache, cfg, plan, vision_tokens, slot,
     invisible to valid queries; garbage pad outputs are discarded by
     last_index.
     """
-    text_emb = llama_mod.embed_tokens(
-        params, plan.text_ids, dtype=vision_tokens.dtype
-    )
-    embeds = fusion_mod.fuse(text_emb, vision_tokens, plan)
+    embeds = teochat_mod.fuse_embeds(params, plan, vision_tokens)
     logits, cache = llama_mod.llama_forward(
         params, cfg, embeds,
         position_ids=plan.position_ids,
@@ -278,11 +275,15 @@ class BatchEngine:
                pixel_values: Optional[np.ndarray] = None,
                gen: Optional[GenerationConfig] = None) -> List[int]:
         """Enqueue one request; blocks until done; returns generated ids."""
-        if self._dead:
-            raise RuntimeError(f"engine failed: {self._dead}")
         gen = gen or GenerationConfig()
         req = self._make_request(input_ids, pixel_values, gen)
-        self._queue.put(req)
+        # dead-check + enqueue under the lock: the fatal drain (run_forever)
+        # also holds it, so a request can never slip into the queue after the
+        # one-shot drain and hang its caller
+        with self._lock:
+            if self._dead:
+                raise RuntimeError(f"engine failed: {self._dead}")
+            self._queue.put(req)
         req.event.wait()
         if req.error:
             raise RuntimeError(req.error)
@@ -293,12 +294,13 @@ class BatchEngine:
                       gen: Optional[GenerationConfig] = None):
         """Enqueue one request; yields lists of fresh token ids per decode
         chunk as they are produced (SSE-friendly). Raises on request error."""
-        if self._dead:
-            raise RuntimeError(f"engine failed: {self._dead}")
         gen = gen or GenerationConfig()
         req = self._make_request(input_ids, pixel_values, gen)
         req.stream_q = queue.Queue()
-        self._queue.put(req)
+        with self._lock:
+            if self._dead:
+                raise RuntimeError(f"engine failed: {self._dead}")
+            self._queue.put(req)
         while True:
             item = req.stream_q.get()
             if item is None:
@@ -342,23 +344,26 @@ class BatchEngine:
                 # A decode-time error (device OOM, wedged backend, ...) must
                 # not hang callers: fail every in-flight and queued request
                 # and refuse new ones. The reference has no equivalent (its
-                # serving is a single blocking call).
-                self._dead = f"{type(e).__name__}: {e}"
-                for slot, req in enumerate(self._slots):
-                    if req is not None:
-                        self._slots[slot] = None
-                        req.error = f"engine failed: {self._dead}"
-                        req._push_stream(final=True)
-                        req.event.set()
-                while True:
-                    try:
-                        req = self._queue.get_nowait()
-                    except queue.Empty:
-                        break
-                    if req is not None:
-                        req.error = f"engine failed: {self._dead}"
-                        req._push_stream(final=True)
-                        req.event.set()
+                # serving is a single blocking call). Setting _dead and
+                # draining happen under the lock submit() enqueues under, so
+                # no request can be enqueued after the one-shot drain.
+                with self._lock:
+                    self._dead = f"{type(e).__name__}: {e}"
+                    for slot, req in enumerate(self._slots):
+                        if req is not None:
+                            self._slots[slot] = None
+                            req.error = f"engine failed: {self._dead}"
+                            req._push_stream(final=True)
+                            req.event.set()
+                    while True:
+                        try:
+                            req = self._queue.get_nowait()
+                        except queue.Empty:
+                            break
+                        if req is not None:
+                            req.error = f"engine failed: {self._dead}"
+                            req._push_stream(final=True)
+                            req.event.set()
                 return
             if not made_progress and self._stop:
                 return
