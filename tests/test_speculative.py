@@ -192,3 +192,20 @@ def test_spec_sampling_distribution_matches_plain(model):
         noise = tv(a, b)
         cross = tv(a, s)
         assert cross < noise + 0.12, (pos, noise, cross)
+
+
+def test_spec_matches_plain_greedy_int4_weights():
+    """Speculation over the packed-int4 decoder (the Pallas fused-dequant
+    path with in-kernel layer select) must stay token-identical — the verify
+    block runs S=k+1 rows through the same int4 projections."""
+    from teochat_tpu.models.teochat import TEOChat, init_teochat
+    from teochat_tpu.ops.quant import quantize_llama_params_int4
+
+    cfg = tiny_test_config()
+    params = init_teochat(jax.random.PRNGKey(0), cfg)
+    params = dict(params, llm=quantize_llama_params_int4(params["llm"]))
+    model = TEOChat(cfg, params)
+    ids = [[1, 5, 9, 4, 3, 7, 8, 11, 5, 9, 4]]
+    base = model.generate(ids, None, _greedy(0, max_new=8))
+    spec = model.generate(ids, None, _greedy(4, max_new=8))
+    assert spec == base
