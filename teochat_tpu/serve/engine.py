@@ -79,6 +79,61 @@ def _sample_rows(logits, rng, temperature, do_sample):
     return jnp.where(use_sample, sampled, greedy)
 
 
+def _sample_rows_excluding(logits, rng, temperature, excluded):
+    """Per-row-temperature categorical with one token's mass removed — the
+    residual draw of speculative rejection sampling (point-mass proposal).
+    logits [B, V]; temperature [B]; excluded [B] token id or -1 (plain)."""
+    v = logits.shape[-1]
+    lf = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    excl = (
+        (jnp.arange(v)[None, :] == excluded[:, None]) & (excluded >= 0)[:, None]
+    )
+    lf = jnp.where(excl, -jnp.inf, lf)
+    return jax.random.categorical(rng, lf, axis=-1).astype(jnp.int32)
+
+
+def _spec_emissions(blk_logits, targets, drafts, greedy_row, temperature,
+                    rng):
+    """Per-slot emissions + acceptance for one speculative iteration.
+
+    blk_logits [B, k+1, V] target logits for the block [tok, d_1..d_k];
+    targets = argmax(blk_logits); drafts [B, k]; greedy_row [B].
+    Greedy rows: draft j accepted iff it equals the argmax target; emission
+    slot j is targets[:, j]. Sampling rows: draft j accepted with probability
+    P_{j}(d_{j+1}) (its target distribution, per-row temperature); an
+    accepted slot emits the draft, the first rejected slot emits the RESIDUAL
+    sample (draft's mass removed, renormalized), and slot k (all accepted)
+    emits a plain sample from P_k — every emitted token is distributed
+    exactly as plain per-token sampling (models/generation.py exactness
+    argument; no top_p here — the engine's plain path has none either).
+    Returns (match [B, k] acceptance per draft, emits [B, k+1]).
+    """
+    b, k1, _ = blk_logits.shape
+    k = k1 - 1
+    keys = jax.random.split(rng, k + 2)
+    p = jax.nn.softmax(
+        blk_logits[:, :k] / jnp.maximum(temperature, 1e-6)[:, None, None],
+        axis=-1,
+    )
+    pd = jnp.take_along_axis(p, drafts[..., None], axis=-1)[..., 0]  # [B, k]
+    u = jax.random.uniform(keys[0], pd.shape)
+    match = jnp.where(greedy_row[:, None], drafts == targets[:, :k], u < pd)
+    emits = []
+    for j in range(k + 1):
+        if j < k:
+            res = _sample_rows_excluding(
+                blk_logits[:, j], keys[j + 1], temperature, drafts[:, j]
+            )
+            emit_s = jnp.where(match[:, j], drafts[:, j], res)
+        else:
+            emit_s = _sample_rows_excluding(
+                blk_logits[:, k], keys[k + 1], temperature,
+                jnp.full((b,), -1, jnp.int32),
+            )
+        emits.append(jnp.where(greedy_row, targets[:, j], emit_s))
+    return match, jnp.stack(emits, axis=1)
+
+
 @partial(jax.jit, static_argnames=("cfg", "chunk"), donate_argnums=(1,))
 def _decode_chunk(params, cache, cfg, chunk, last_tokens, positions, active,
                   temperature, do_sample, rng, eos_id, pad_id):
@@ -124,9 +179,10 @@ def _decode_chunk_spec(params, cache, cfg, chunk, spec_k, last_tokens, positions
     prompt-lookup drafts in one (spec_k+1)-token forward per row.
 
     Greedy rows emit 1..spec_k+1 tokens per iteration (token-identical to the
-    plain chunk); sampling rows accept no drafts and emit exactly 1 (their
-    next token is sampled from the block's position-0 logits, so they pay no
-    extra forwards either). Returns (tokens [B, chunk, spec_k+1],
+    plain chunk); sampling rows ALSO emit 1..spec_k+1 via exact speculative
+    sampling (accept draft d with probability P(d) at the row's temperature,
+    residual sample on rejection — distribution-identical to plain sampling,
+    see _spec_emissions). Returns (tokens [B, chunk, spec_k+1],
     counts [B, chunk], active', positions', cache, hist', hist_len').
 
     `hist`/`hist_len`: per-slot token history (prompt text ids then generated)
@@ -163,7 +219,9 @@ def _decode_chunk_spec(params, cache, cfg, chunk, spec_k, last_tokens, positions
         )  # [B, k+1, V]
         targets = jnp.argmax(blk_logits, axis=-1).astype(jnp.int32)
         greedy_row = ~(do_sample & (temperature > 0.0))
-        match = (drafts == targets[:, :k]) & greedy_row[:, None]
+        match, emissions = _spec_emissions(
+            blk_logits, targets, drafts, greedy_row, temperature, step_rng
+        )
         acc = jnp.cumprod(match.astype(jnp.int32), axis=1).astype(bool)
 
         toks_out = jnp.full((b, k + 1), pad_id, jnp.int32)
@@ -172,16 +230,12 @@ def _decode_chunk_spec(params, cache, cfg, chunk, spec_k, last_tokens, positions
         new_tok = tok
         for j in range(k + 1):
             if j == 0:
-                # the greedy target after `tok`; sampling rows sample instead
-                sampled = _sample_rows(
-                    blk_logits[:, 0], step_rng, temperature, do_sample
-                )
-                emit = jnp.where(greedy_row, targets[:, 0], sampled)
+                emit = emissions[:, 0]
                 valid = act
             else:
                 # emission chain: cumulative acceptance, cut at an EOS
                 valid = act & acc[:, j - 1] & ~stopped
-                emit = targets[:, j]
+                emit = emissions[:, j]
             emit = jnp.where(valid, emit, pad_id)
             toks_out = toks_out.at[:, j].set(emit)
             counts = counts + valid.astype(jnp.int32)

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from teochat_tpu.config import GenerationConfig, tiny_test_config
 from teochat_tpu.constants import IMAGE_TOKEN_INDEX
@@ -282,3 +283,38 @@ def test_engine_fatal_error_fails_requests(model, monkeypatch):
             engine.submit([1, 2, 3], None, gen)
     finally:
         engine.shutdown()
+
+
+def test_spec_emissions_sampling_exactness():
+    """_spec_emissions: slot-0 emission of a sampling row must be distributed
+    exactly as plain per-token sampling (accept-w.p.-P(d) + residual), and
+    slot-1 validity frequency must equal P_0(draft). Deterministic seeds."""
+    from teochat_tpu.serve.engine import _spec_emissions
+
+    # fixed 4-token target distributions for a k=2 block
+    p0 = np.array([0.5, 0.25, 0.15, 0.10])
+    p1 = np.array([0.10, 0.20, 0.30, 0.40])
+    p2 = np.array([0.25, 0.25, 0.25, 0.25])
+    blk_logits = jnp.log(jnp.asarray([[p0, p1, p2]], jnp.float32))  # [1,3,4]
+    targets = jnp.argmax(blk_logits, axis=-1).astype(jnp.int32)
+    drafts = jnp.asarray([[0, 3]], jnp.int32)  # draft token 0 then 3
+    greedy_row = jnp.asarray([False])
+    temp = jnp.asarray([1.0], jnp.float32)
+
+    n = 4000
+    fn = jax.jit(lambda r: _spec_emissions(
+        blk_logits, targets, drafts, greedy_row, temp, r))
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    match_all, emit_all = jax.vmap(fn)(keys)
+    match_all = np.asarray(match_all)[:, 0]  # [n, k]
+    emit_all = np.asarray(emit_all)[:, 0]  # [n, k+1]
+
+    # slot-0 marginal == p0 exactly (acceptance + residual recombine)
+    freq0 = np.bincount(emit_all[:, 0], minlength=4) / n
+    np.testing.assert_allclose(freq0, p0, atol=0.03)
+    # draft 0 accepted with probability p0[0] = 0.5
+    assert abs(match_all[:, 0].mean() - 0.5) < 0.03
+    # given acceptance of draft 0, slot-1 marginal == p1
+    sel = match_all[:, 0]
+    freq1 = np.bincount(emit_all[sel, 1], minlength=4) / sel.sum()
+    np.testing.assert_allclose(freq1, p1, atol=0.04)
