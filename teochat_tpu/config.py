@@ -106,6 +106,13 @@ class LlamaConfig:
     # rate on v5e) for s>1 projections when the backbone is int8-quantized.
     # Off by default: metric-parity, not bit-parity (ops/quant.py).
     int8_prefill_activations: bool = False
+    # Context parallelism: name of a mesh axis to shard the SEQUENCE over in
+    # cache-free (training / teacher-forced) forwards — attention runs the
+    # ppermute ring (parallel/ring_attention.py), everything else shards
+    # positionally under GSPMD. Requires right-padded batches (causal-only
+    # masking) and S divisible by the axis size. None = off (parity needs
+    # <=4.4k tokens; this is the beyond-reference long-context lever).
+    sequence_axis: Optional[str] = None
 
     @property
     def head_dim(self) -> int:

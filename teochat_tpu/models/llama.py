@@ -156,6 +156,20 @@ def _attention_layer(
 
     if k_cache is None:
         if (
+            cfg.sequence_axis is not None
+            and (right_padded or kv_mask is None)
+            and cfg.num_kv_heads == cfg.num_heads
+        ):
+            # context parallelism: S is sharded over the mesh's sequence
+            # axis; K/V blocks rotate around the ICI ring while each shard
+            # accumulates its queries' online softmax. Right-padded batches
+            # only (causal masking subsumes the pad mask, as with flash).
+            from teochat_tpu.parallel.ring_attention import ring_self_attention
+
+            out = ring_self_attention(
+                q, k, v, axis_name=cfg.sequence_axis, causal=True
+            )
+        elif (
             right_padded
             and jax.default_backend() == "tpu"
             and cfg.head_dim % 128 == 0

@@ -108,6 +108,42 @@ def ring_attention(
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)
 
 
+def ring_self_attention(
+    q: jnp.ndarray,  # [B, S, H, D] global arrays (inside jit)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    axis_name: str,
+    causal: bool = True,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Trace-time ring attention over the AMBIENT mesh's `axis_name` axis.
+
+    For use inside a jitted model under `jax.set_mesh(...)` (the decoder's
+    cache-free path when LlamaConfig.sequence_axis is set): shard_map splits
+    S across the axis, runs the ring, and returns the S-sharded result. The
+    caller guarantees causal-only masking is sufficient (right-padded
+    prompts: pads sit after every valid query)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if axis_name not in mesh.shape:
+        raise ValueError(
+            f"sequence axis {axis_name!r} not in the active mesh {mesh.shape}"
+        )
+    n = mesh.shape[axis_name]
+    s = q.shape[1]
+    if s % n:
+        raise ValueError(f"sequence length {s} not divisible by {axis_name}={n}")
+    spec = P(None, axis_name, None, None)
+    fn = jax.shard_map(
+        functools.partial(
+            ring_attention, axis_name=axis_name, axis_size=n,
+            causal=causal, scale=scale,
+        ),
+        in_specs=(spec, spec, spec), out_specs=spec,
+    )
+    return fn(q, k, v)
+
+
 def context_parallel_attention(
     q: jnp.ndarray,  # [B, S, H, D] full arrays (sharded or to-be-sharded)
     k: jnp.ndarray,

@@ -71,3 +71,78 @@ def test_ring_attention_smaller_axis():
     got = context_parallel_attention(q, k, v, _mesh(2), causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_decoder_sequence_parallel_forward_matches():
+    """LlamaConfig.sequence_axis: the cache-free decoder forward under a
+    ('sequence',) mesh must match the single-device run (context-parallel
+    training wiring, llama.py cache-free branch)."""
+    import dataclasses
+
+    from teochat_tpu.config import tiny_test_config
+    from teochat_tpu.models import llama as llama_mod
+
+    base_cfg = tiny_test_config().llm
+    params = llama_mod.init_llama(jax.random.PRNGKey(0), base_cfg)
+    b, s = 2, 32
+    rs = np.random.RandomState(0)
+    embeds = jnp.asarray(rs.randn(b, s, base_cfg.hidden_size) * 0.1, jnp.float32)
+    pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
+    ones = jnp.ones((b, s), bool)
+
+    def fwd(cfg):
+        def f(p, e):
+            logits, _ = llama_mod.llama_forward(
+                p, cfg, e, position_ids=pos, attention_mask=ones,
+                right_padded=True,
+            )
+            return logits
+        return f
+
+    ref = np.asarray(jax.jit(fwd(base_cfg))(params, embeds))
+    seq_cfg = dataclasses.replace(base_cfg, sequence_axis="sequence")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("sequence",))
+    with jax.set_mesh(mesh):
+        got = np.asarray(jax.jit(fwd(seq_cfg))(params, embeds))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_decoder_sequence_parallel_grads_match():
+    """Training gradients through the context-parallel decoder match the
+    unsharded ones (long-context TRAINING end-to-end)."""
+    import dataclasses
+
+    from teochat_tpu.config import tiny_test_config
+    from teochat_tpu.models import llama as llama_mod
+
+    base_cfg = tiny_test_config().llm
+    params = llama_mod.init_llama(jax.random.PRNGKey(1), base_cfg)
+    b, s = 1, 16
+    rs = np.random.RandomState(2)
+    embeds = jnp.asarray(rs.randn(b, s, base_cfg.hidden_size) * 0.1, jnp.float32)
+    pos = jnp.tile(jnp.arange(s, dtype=jnp.int32), (b, 1))
+    ones = jnp.ones((b, s), bool)
+    labels = jnp.asarray(rs.randint(1, base_cfg.vocab_size, (b, s)), jnp.int32)
+
+    def loss_fn(cfg):
+        def f(p, e):
+            logits, _ = llama_mod.llama_forward(
+                p, cfg, e, position_ids=pos, attention_mask=ones,
+                right_padded=True,
+            )
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(
+                jnp.take_along_axis(logp, labels[..., None], axis=-1)
+            )
+        return f
+
+    g_ref = jax.jit(jax.grad(loss_fn(base_cfg)))(params, embeds)
+    seq_cfg = dataclasses.replace(base_cfg, sequence_axis="sequence")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("sequence",))
+    with jax.set_mesh(mesh):
+        g_seq = jax.jit(jax.grad(loss_fn(seq_cfg)))(params, embeds)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_seq = jax.tree.leaves(g_seq)
+    for a, c in zip(flat_ref, flat_seq):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=3e-4, atol=3e-4)
