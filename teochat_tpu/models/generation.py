@@ -433,15 +433,11 @@ def generate_tokens_spec(
     b, s, _ = inputs_embeds.shape
     from teochat_tpu.models.llama import init_cache
 
-    sampling = do_sample and temperature > 0.0
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     cache = init_cache(cfg, b, cache_len, dtype=jnp.dtype(kv_dtype))
     t_max = cache.max_len
-    m = stop.keyword_ids.shape[1]
-    k = spec_k
-    rows = jnp.arange(b)
 
     trash = t_max - 1
     slots = jnp.where(attention_mask, position_ids, trash)
@@ -452,7 +448,33 @@ def generate_tokens_spec(
         kv_mask=kv_mask,
         logits_mode="last", last_index=seq_lens - 1,
     )
-    logits0 = logits[:, -1]  # [B, V]
+    tokens, n_gen, steps, accepted, _ = _run_spec_decode_loop(
+        params, cfg, cache, logits[:, -1], seq_lens, prompt_ids,
+        prompt_id_lens, stop, rng,
+        max_new_tokens=max_new_tokens, pad_id=pad_id, spec_k=spec_k,
+        temperature=temperature, do_sample=do_sample, top_p=top_p,
+        emb_dtype=inputs_embeds.dtype,
+    )
+    return tokens, n_gen, steps, accepted
+
+
+def _run_spec_decode_loop(params, cfg, cache, logits0, start_pos, prompt_ids,
+                          prompt_id_lens, stop, rng, *, max_new_tokens,
+                          pad_id, spec_k, temperature, do_sample, top_p,
+                          emb_dtype):
+    """The speculative decode while_loop (called inside a jit context).
+
+    start_pos: [B] cache slot of the first generated token per row (all prior
+    slots hold committed K/V — a fresh prefill or a session's committed
+    conversation). prompt_ids/prompt_id_lens seed the draft-lookup history.
+    Returns (tokens, n_gen, steps, accepted, cache).
+    """
+    b = start_pos.shape[0]
+    t_max = cache.max_len
+    m = stop.keyword_ids.shape[1]
+    k = spec_k
+    rows = jnp.arange(b)
+    sampling = do_sample and temperature > 0.0
 
     h_max = prompt_ids.shape[1] + max_new_tokens
     hist0 = jnp.concatenate(
@@ -462,9 +484,8 @@ def generate_tokens_spec(
         ],
         axis=1,
     )
-    # right-compact the prompt ids? They are already left-aligned with -1 pads
-    # interspersed only at the tail (build_fusion_plan keeps text order), so
-    # hist positions [0, prompt_id_lens) are the real ids.
+    # prompt ids are left-aligned with -1 pads at the tail (build_fusion_plan
+    # keeps text order), so hist positions [0, prompt_id_lens) are real ids.
 
     def record(tokens, n_gen, hist, hist_len, window, done, tok, valid):
         """Append `tok` where `valid`; returns updated buffers (one token)."""
@@ -497,7 +518,7 @@ def generate_tokens_spec(
             u_rng, next_rng = cur_rng, cur_rng
             tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         tok0 = jnp.where(done, pad_id, tok0)
-        pos0 = seq_lens + n_gen  # cache slot of tok0, per row
+        pos0 = start_pos + n_gen  # cache slot of tok0, per row
         valid0 = ~done
         tokens, n_gen, hist, hist_len, window, done = record(
             tokens, n_gen, hist, hist_len, window, done, tok0, valid0
@@ -511,7 +532,7 @@ def generate_tokens_spec(
             jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1)
             <= (pos0 + k)[:, None]
         )
-        emb = llama_mod.embed_tokens(params, blk, dtype=inputs_embeds.dtype)
+        emb = llama_mod.embed_tokens(params, blk, dtype=emb_dtype)
         blk_logits, cache = llama_mod.llama_forward(
             params, cfg, emb, position_ids=blk_pos, cache=cache,
             write_slots=blk_pos, kv_mask=kv_mask, logits_mode="all",
@@ -568,5 +589,38 @@ def generate_tokens_spec(
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
     )
     state = jax.lax.while_loop(cond_fn, step_fn, state)
-    (_, tokens, _, _, n_gen, _, _, _, _, _, steps, accepted) = state
-    return tokens, n_gen, steps, accepted
+    (cache, tokens, _, _, n_gen, _, _, _, _, _, steps, accepted) = state
+    return tokens, n_gen, steps, accepted, cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "pad_id", "spec_k", "temperature",
+        "do_sample", "top_p",
+    ),
+    donate_argnums=(2,),
+)
+def decode_with_cache_spec(params, cfg, cache, logits0, start_pos,
+                           prompt_ids, prompt_id_lens, stop, rng, *,
+                           max_new_tokens, pad_id=0, spec_k=4,
+                           temperature=0.0, do_sample=False, top_p=1.0):
+    """Speculative decode continuing over an existing (session) cache.
+
+    Same contract as decode_with_cache plus prompt-lookup speculation:
+    prompt_ids seeds the draft history with the FULL conversation so far
+    (earlier turns included — multi-turn chats echo themselves heavily).
+    The caller must size the cache with spec_k extra slots beyond
+    start_pos + max_new_tokens (plus the trash slot). Returns
+    (tokens, n_gen, steps, accepted, cache)."""
+    emb_dtype = (
+        cache.k.dtype
+        if cache.k.dtype != jnp.dtype("float8_e4m3fn") else jnp.bfloat16
+    )
+    return _run_spec_decode_loop(
+        params, cfg, cache, logits0, start_pos, prompt_ids, prompt_id_lens,
+        stop, rng,
+        max_new_tokens=max_new_tokens, pad_id=pad_id, spec_k=spec_k,
+        temperature=temperature, do_sample=do_sample, top_p=top_p,
+        emb_dtype=emb_dtype,
+    )

@@ -188,6 +188,7 @@ class Chat:
         bbox: Optional[Sequence[float]] = None,
         temperature: float = 0.2,
         max_new_tokens: int = 256,
+        speculative_k: int = 0,
     ) -> dict:
         """One chat turn. Returns {'response', 'bboxes'}; first turn prepends
         the temporal system prefix + <video> (reference :516-521); later turns
@@ -239,6 +240,7 @@ class Chat:
             temperature=temperature,
             do_sample=temperature > 0,
             stop_strings=(stop_str,),
+            speculative_k=speculative_k,
         )
         if self._session is not None:
             out_ids = self._session.generate(input_ids, pixel_values, gen)

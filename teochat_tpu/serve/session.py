@@ -109,7 +109,8 @@ class ChatSession:
         fused_delta = len(delta) + _count_sentinels(delta) * (
             model.tokens_per_frame - 1
         )
-        if start_tok + fused_delta + gen.max_new_tokens + 1 > self.max_len:
+        spec_k = gen.speculative_k
+        if start_tok + fused_delta + gen.max_new_tokens + spec_k + 1 > self.max_len:
             raise ValueError(
                 f"session cache full: {start_tok} committed + {fused_delta} new "
                 f"+ {gen.max_new_tokens} generated exceeds max_len {self.max_len}"
@@ -148,14 +149,42 @@ class ChatSession:
                 eos_id=jnp.asarray(cfg.llm.eos_token_id, jnp.int32),
             )
         start_pos = jnp.asarray([start_tok], jnp.int32) + plan.seq_lens
-        tokens, n_gen, self.cache = gen_mod.decode_with_cache(
-            llm, cfg.llm, self.cache, logits, start_pos, stop, rng,
-            max_new_tokens=gen.max_new_tokens,
-            temperature=gen.temperature,
-            do_sample=gen.do_sample and gen.temperature > 0.0,
-            top_p=gen.top_p,
-            pad_id=cfg.llm.pad_token_id,
-        )
+        if spec_k > 0:
+            # prompt-lookup speculation seeded with the FULL conversation —
+            # earlier turns are prime draft material (chats echo themselves)
+            width = teochat_mod.round_to_bucket(
+                len(input_ids), teochat_mod.SEQ_BUCKETS
+            )
+            hist_ids = np.full((1, width), -1, np.int32)
+            hist_ids[0, : len(input_ids)] = input_ids
+            tokens, n_gen, steps, accepted, self.cache = (
+                gen_mod.decode_with_cache_spec(
+                    llm, cfg.llm, self.cache, logits, start_pos,
+                    jnp.asarray(hist_ids),
+                    jnp.asarray([len(input_ids)], jnp.int32), stop, rng,
+                    max_new_tokens=gen.max_new_tokens,
+                    pad_id=cfg.llm.pad_token_id,
+                    spec_k=spec_k,
+                    temperature=gen.temperature,
+                    do_sample=gen.do_sample,
+                    top_p=gen.top_p,
+                )
+            )
+            self.stats["spec_steps"] = (
+                self.stats.get("spec_steps", 0) + int(steps)
+            )
+            self.stats["spec_accepted"] = (
+                self.stats.get("spec_accepted", 0) + int(accepted)
+            )
+        else:
+            tokens, n_gen, self.cache = gen_mod.decode_with_cache(
+                llm, cfg.llm, self.cache, logits, start_pos, stop, rng,
+                max_new_tokens=gen.max_new_tokens,
+                temperature=gen.temperature,
+                do_sample=gen.do_sample and gen.temperature > 0.0,
+                top_p=gen.top_p,
+                pad_id=cfg.llm.pad_token_id,
+            )
         out = np.asarray(tokens)[0, : int(np.asarray(n_gen)[0])].tolist()
 
         self.tokens = input_ids + out

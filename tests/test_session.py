@@ -125,3 +125,34 @@ def test_session_matches_stateless_with_w8a8_prefill():
         got = session.generate(convo, None, gen)
         assert got == want, f"turn {turn}: {got} != {want}"
         convo = convo + got + [11 + turn, 6]
+
+
+def test_session_speculative_matches_plain(model):
+    """Session turns with speculation emit the same greedy tokens as plain
+    session turns (and therefore as stateless generate), drafting from the
+    full conversation history."""
+    import dataclasses
+
+    plain = ChatSession(model, max_len=512)
+    spec = ChatSession(model, max_len=512)
+    g0 = _greedy(6)
+    gs = dataclasses.replace(g0, speculative_k=4)
+    convo = [1, 5, 9, 4, 7, 5, 9, 4]
+    for turn in range(2):
+        a = plain.generate(convo, None, g0)
+        b = spec.generate(convo, None, gs)
+        assert a == b, f"turn {turn}: {a} != {b}"
+        convo = convo + a + [11 + turn, 6]
+    assert spec.stats["spec_steps"] >= 1
+
+
+def test_chat_speculative_turns(model):
+    """Chat(speculative_k=...) runs turns through the speculative session."""
+    chat = Chat(model_bundle=(model.tokenizer, model, ImageProcessor(size=28)),
+                incremental=True, session_max_len=2048)
+    r1 = chat.generate("Describe.", [], temperature=0.0, max_new_tokens=4,
+                       speculative_k=3)
+    r2 = chat.generate("More detail.", [], temperature=0.0, max_new_tokens=4,
+                       speculative_k=3)
+    assert isinstance(r1["response"], str) and isinstance(r2["response"], str)
+    assert chat._session.stats.get("spec_steps", 0) >= 1
