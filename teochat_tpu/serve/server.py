@@ -6,9 +6,17 @@ stdlib ThreadingHTTPServer speaking JSON:
 
     POST /generate {"prompt": str, "images": [base64 PNG/JPEG, ...],
                     "timestamps": [...], "bbox": [x1,y1,x2,y2] | null,
-                    "temperature": float, "max_new_tokens": int}
+                    "temperature": float, "max_new_tokens": int,
+                    "session_id": str | null}
       -> {"response": str, "bboxes": [[x1,y1,x2,y2], ...]}
+    POST /reset {"session_id": str | null} -> {"status": "reset"}
     GET /health -> {"status": "ok"}
+    GET /stats -> engine/session counters
+
+    `session_id` gives each conversation its own multi-turn state (history,
+    accumulated frames, incremental KV session) — omitted/null uses the
+    default session, matching the reference demo's single-session behavior.
+    Stale sessions are evicted LRU beyond `max_sessions`.
 
 Two execution modes:
 - default: requests funnel through one worker thread over a stateful Chat
@@ -47,13 +55,38 @@ class ChatServer:
     """Wraps a serve.chat.Chat (or compatible) behind HTTP."""
 
     def __init__(self, chat, host: str = "127.0.0.1", port: int = 7860,
-                 engine=None):
-        self.chat = chat
+                 engine=None, max_sessions: int = 16):
+        self.chat = chat  # default session ("" id)
         self.host = host
         self.port = port
         self.engine = engine  # serve.engine.BatchEngine (already started)
+        self.max_sessions = max_sessions
+        # per-conversation Chat sessions keyed by session_id; insertion order
+        # doubles as LRU order (move-to-end on use)
+        self._sessions = {"": chat}
         self._jobs: "queue.Queue" = queue.Queue()
         self._httpd: Optional[ThreadingHTTPServer] = None
+
+    def _session_for(self, session_id: str):
+        """Fetch-or-create the Chat for a session id (worker thread only)."""
+        chat = self._sessions.pop(session_id, None)
+        if chat is None:
+            chat = type(self.chat)(
+                model_bundle=(
+                    self.chat.tokenizer, self.chat.model, self.chat.processor
+                ),
+                conv_mode=self.chat.conv_mode,
+            )
+            while len(self._sessions) >= self.max_sessions:
+                it = iter(self._sessions)
+                evicted = next(it)
+                if evicted == "":  # never evict the default session
+                    evicted = next(it, None)
+                    if evicted is None:
+                        break
+                self._sessions.pop(evicted)
+        self._sessions[session_id] = chat  # (re)insert at LRU tail
+        return chat
 
     def _engine_generate(self, payload):
         """Stateless per-request path through the continuous-batching engine.
@@ -87,14 +120,20 @@ class ChatServer:
                 return
             payload, done = job
             try:
+                chat = self._session_for(str(payload.get("session_id") or ""))
+                if payload.get("_reset"):
+                    chat.reset()
+                    done["result"] = {"status": "reset"}
+                    continue
                 images = _decode_images(payload.get("images", []))
-                result = self.chat.generate(
+                result = chat.generate(
                     payload["prompt"],
                     images,
                     timestamps=payload.get("timestamps", []),
                     bbox=payload.get("bbox"),
                     temperature=float(payload.get("temperature", 0.2)),
                     max_new_tokens=int(payload.get("max_new_tokens", 256)),
+                    speculative_k=int(payload.get("speculative_k", 0)),
                 )
                 done["result"] = result
             except Exception as e:  # surfaced as HTTP 400
@@ -185,16 +224,22 @@ class ChatServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/generate":
+                if self.path not in ("/generate", "/reset"):
                     return self._send(404, {"error": "not found"})
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
-                    if "prompt" not in payload:
+                    if self.path == "/generate" and "prompt" not in payload:
                         return self._send(400, {"error": "missing 'prompt'"})
                 except (ValueError, json.JSONDecodeError) as e:
                     return self._send(400, {"error": f"bad request: {e}"})
-                if server.engine is not None:
+                if self.path == "/reset":
+                    payload["_reset"] = True
+                # requests carrying a session_id are stateful multi-turn
+                # conversations -> the per-session worker path; the engine
+                # handles stateless requests concurrently
+                stateful = payload.get("session_id") or payload.get("_reset")
+                if server.engine is not None and not stateful:
                     if payload.get("stream"):
                         return self._send_sse(payload)
                     try:

@@ -97,3 +97,53 @@ def test_stats_endpoint(server):
         assert r.status == 200
         stats = json.loads(r.read())
     assert stats["mode"] == "session"  # no engine attached in this fixture
+
+
+def _post_path(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_multi_session_routing(server):
+    """Distinct session_ids keep independent conversation state; /reset
+    clears one; the default session is untouched."""
+    port = server._httpd.server_address[1]
+    s, r = _post_path(port, "/generate", {
+        "prompt": "First question .", "images": [], "temperature": 0.0,
+        "max_new_tokens": 3, "session_id": "alice",
+    })
+    assert s == 200 and isinstance(r["response"], str)
+    s, _ = _post_path(port, "/generate", {
+        "prompt": "Other conversation .", "images": [], "temperature": 0.0,
+        "max_new_tokens": 3, "session_id": "bob",
+    })
+    assert s == 200
+    alice = server._sessions["alice"]
+    bob = server._sessions["bob"]
+    assert alice is not bob
+    assert len(alice.history) == 1 and len(bob.history) == 1
+    assert alice.history[0][0] != bob.history[0][0]
+
+    s, r = _post_path(port, "/reset", {"session_id": "alice"})
+    assert s == 200 and r["status"] == "reset"
+    assert server._sessions["alice"].history == []
+    assert len(server._sessions["bob"].history) == 1  # untouched
+
+
+def test_session_lru_eviction(server):
+    port = server._httpd.server_address[1]
+    server.max_sessions = 3  # default "" + 2 conversations
+    for name in ("c1", "c2", "c3"):
+        s, _ = _post_path(port, "/generate", {
+            "prompt": f"Hello {name} .", "images": [], "temperature": 0.0,
+            "max_new_tokens": 2, "session_id": name,
+        })
+        assert s == 200
+    assert "" in server._sessions  # default never evicted
+    assert len(server._sessions) <= 3
+    assert "c3" in server._sessions  # most recent survives
