@@ -209,3 +209,20 @@ def test_spec_matches_plain_greedy_int4_weights():
     base = model.generate(ids, None, _greedy(0, max_new=8))
     spec = model.generate(ids, None, _greedy(4, max_new=8))
     assert spec == base
+
+
+def test_spec_fuzz_parity(model):
+    """Randomized prompts/batch shapes/k/max_new: speculative greedy must
+    stay token-identical to plain greedy (fixed seed, deterministic)."""
+    rs = np.random.RandomState(7)
+    for trial in range(5):
+        b = int(rs.randint(1, 3))
+        rows = [
+            [1] + rs.randint(3, 200, int(rs.randint(3, 12))).tolist()
+            for _ in range(b)
+        ]
+        k = int(rs.choice([1, 3, 5]))
+        mn = int(rs.choice([2, 6, 10]))
+        base = model.generate(rows, None, _greedy(0, max_new=mn))
+        spec = model.generate(rows, None, _greedy(k, max_new=mn))
+        assert spec == base, (trial, b, k, mn)
