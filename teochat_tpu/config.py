@@ -110,7 +110,9 @@ class LlamaConfig:
     # cache-free (training / teacher-forced) forwards — attention runs the
     # ppermute ring (parallel/ring_attention.py), everything else shards
     # positionally under GSPMD. Requires right-padded batches (causal-only
-    # masking) and S divisible by the axis size. None = off (parity needs
+    # masking), S divisible by the axis size, and full-head attention
+    # (num_kv_heads == num_heads — the ring kernel has no GQA grouping yet);
+    # misconfiguration raises at trace time. None = off (parity needs
     # <=4.4k tokens; this is the beyond-reference long-context lever).
     sequence_axis: Optional[str] = None
 

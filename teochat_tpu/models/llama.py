@@ -155,15 +155,23 @@ def _attention_layer(
     k = apply_rope(k, cos, sin)
 
     if k_cache is None:
-        if (
-            cfg.sequence_axis is not None
-            and (right_padded or kv_mask is None)
-            and cfg.num_kv_heads == cfg.num_heads
-        ):
+        if cfg.sequence_axis is not None:
             # context parallelism: S is sharded over the mesh's sequence
             # axis; K/V blocks rotate around the ICI ring while each shard
             # accumulates its queries' online softmax. Right-padded batches
             # only (causal masking subsumes the pad mask, as with flash).
+            # Explicitly configured -> misuse is an ERROR, not a silent
+            # fallback to O(S^2)-per-device attention.
+            if cfg.num_kv_heads != cfg.num_heads:
+                raise NotImplementedError(
+                    "sequence_axis requires num_kv_heads == num_heads "
+                    "(the ring kernel is full-head; GQA grouping TBD)"
+                )
+            if not (right_padded or kv_mask is None):
+                raise ValueError(
+                    "sequence_axis needs right-padded batches (causal-only "
+                    "masking); got a padding mask without right_padded=True"
+                )
             from teochat_tpu.parallel.ring_attention import ring_self_attention
 
             out = ring_self_attention(

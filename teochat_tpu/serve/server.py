@@ -55,28 +55,43 @@ class ChatServer:
     """Wraps a serve.chat.Chat (or compatible) behind HTTP."""
 
     def __init__(self, chat, host: str = "127.0.0.1", port: int = 7860,
-                 engine=None, max_sessions: int = 16):
+                 engine=None, max_sessions: int = 4, session_factory=None):
         self.chat = chat  # default session ("" id)
         self.host = host
         self.port = port
         self.engine = engine  # serve.engine.BatchEngine (already started)
+        # NOTE on sizing: a 7B / 4096-slot bf16 KV session is ~2.1 GB of HBM
+        # once its first turn allocates it — max_sessions bounds peak cache
+        # memory at roughly max_sessions x that (idle sessions cost nothing,
+        # allocation is lazy). 4 live sessions + weights fits a 16 GB v5e.
         self.max_sessions = max_sessions
+        self._session_factory = session_factory or self._clone_default_chat
         # per-conversation Chat sessions keyed by session_id; insertion order
         # doubles as LRU order (move-to-end on use)
         self._sessions = {"": chat}
         self._jobs: "queue.Queue" = queue.Queue()
         self._httpd: Optional[ThreadingHTTPServer] = None
 
+    def _clone_default_chat(self):
+        """New per-conversation Chat mirroring the default one's config
+        (incremental mode + session max_len included). Servers wrapping a
+        Chat subclass with a different __init__ pass `session_factory`."""
+        kw = dict(
+            model_bundle=(
+                self.chat.tokenizer, self.chat.model, self.chat.processor
+            ),
+            conv_mode=self.chat.conv_mode,
+            incremental=self.chat._session is not None,
+        )
+        if self.chat._session is not None:
+            kw["session_max_len"] = self.chat._session.max_len
+        return type(self.chat)(**kw)
+
     def _session_for(self, session_id: str):
         """Fetch-or-create the Chat for a session id (worker thread only)."""
         chat = self._sessions.pop(session_id, None)
         if chat is None:
-            chat = type(self.chat)(
-                model_bundle=(
-                    self.chat.tokenizer, self.chat.model, self.chat.processor
-                ),
-                conv_mode=self.chat.conv_mode,
-            )
+            chat = self._session_factory()
             while len(self._sessions) >= self.max_sessions:
                 it = iter(self._sessions)
                 evicted = next(it)
@@ -120,11 +135,16 @@ class ChatServer:
                 return
             payload, done = job
             try:
-                chat = self._session_for(str(payload.get("session_id") or ""))
+                sid = str(payload.get("session_id") or "")
                 if payload.get("_reset"):
-                    chat.reset()
+                    # resetting an unknown/evicted session is a NO-OP — it
+                    # must not allocate a fresh session (or evict a live one)
+                    existing = self._sessions.get(sid)
+                    if existing is not None:
+                        existing.reset()
                     done["result"] = {"status": "reset"}
                     continue
+                chat = self._session_for(sid)
                 images = _decode_images(payload.get("images", []))
                 result = chat.generate(
                     payload["prompt"],
@@ -235,10 +255,21 @@ class ChatServer:
                     return self._send(400, {"error": f"bad request: {e}"})
                 if self.path == "/reset":
                     payload["_reset"] = True
-                # requests carrying a session_id are stateful multi-turn
-                # conversations -> the per-session worker path; the engine
+                # requests carrying a session_id key are stateful multi-turn
+                # conversations -> the per-session worker path (explicit ""
+                # means the default session in EVERY mode); the engine
                 # handles stateless requests concurrently
-                stateful = payload.get("session_id") or payload.get("_reset")
+                # absent/null session_id = stateless; ANY string (incl. "",
+                # the default session) = stateful, identically in both modes
+                stateful = (
+                    payload.get("session_id") is not None
+                    or payload.get("_reset")
+                )
+                if stateful and payload.get("stream"):
+                    return self._send(400, {
+                        "error": "streaming requires a stateless request "
+                                 "(engine mode, no session_id)"
+                    })
                 if server.engine is not None and not stateful:
                     if payload.get("stream"):
                         return self._send_sse(payload)

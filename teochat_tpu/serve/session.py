@@ -43,9 +43,9 @@ class ChatSession:
     def __init__(self, model: teochat_mod.TEOChat, *, max_len: int = 4096):
         self.model = model
         self.max_len = max_len
-        self.cache = llama_mod.init_cache(
-            model.cfg.llm, 1, max_len, dtype=model._dtype
-        )
+        # KV allocated LAZILY on the first turn: an idle session costs no HBM
+        # (a 7B/4096 bf16 cache is ~2.1 GB — multi-session servers keep many)
+        self.cache = None
         self.tokens: List[int] = []  # full rendered conversation (token ids)
         self.kv_len = 0  # leading tokens of `tokens` whose K/V are committed
         self.stats = {"turns": 0, "reused_tokens": 0, "prefilled_tokens": 0}
@@ -56,11 +56,15 @@ class ChatSession:
         return n_tokens + sent * (self.model.tokens_per_frame - 1)
 
     def reset(self):
-        self.cache = llama_mod.init_cache(
-            self.model.cfg.llm, 1, self.max_len, dtype=self.model._dtype
-        )
+        self.cache = None  # dropped; reallocated on the next turn
         self.tokens = []
         self.kv_len = 0
+
+    def _ensure_cache(self):
+        if self.cache is None:
+            self.cache = llama_mod.init_cache(
+                self.model.cfg.llm, 1, self.max_len, dtype=self.model._dtype
+            )
 
     # ------------------------------------------------------------ generate
     def generate(
@@ -113,8 +117,10 @@ class ChatSession:
         if start_tok + fused_delta + gen.max_new_tokens + spec_k + 1 > self.max_len:
             raise ValueError(
                 f"session cache full: {start_tok} committed + {fused_delta} new "
-                f"+ {gen.max_new_tokens} generated exceeds max_len {self.max_len}"
+                f"+ {gen.max_new_tokens} generated + {spec_k} draft slots + 1 "
+                f"spare exceeds max_len {self.max_len}"
             )
+        self._ensure_cache()
         pad_to = min(
             teochat_mod.round_to_bucket(fused_delta, teochat_mod.SEQ_BUCKETS),
             self.max_len,

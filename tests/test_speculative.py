@@ -215,10 +215,11 @@ def test_spec_fuzz_parity(model):
     """Randomized prompts/batch shapes/k/max_new: speculative greedy must
     stay token-identical to plain greedy (fixed seed, deterministic)."""
     rs = np.random.RandomState(7)
+    vocab = model.cfg.llm.vocab_size  # keep fuzz ids in-vocabulary
     for trial in range(5):
         b = int(rs.randint(1, 3))
         rows = [
-            [1] + rs.randint(3, 200, int(rs.randint(3, 12))).tolist()
+            [1] + rs.randint(3, vocab, int(rs.randint(3, 12))).tolist()
             for _ in range(b)
         ]
         k = int(rs.choice([1, 3, 5]))
