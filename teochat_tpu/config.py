@@ -158,11 +158,14 @@ class GenerationConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh layout: (data, fsdp, model) axes over ICI (SURVEY §2.4)."""
+    """Device-mesh layout: (data, fsdp, model) axes over ICI (SURVEY §2.4),
+    plus an optional `sequence` axis (context parallelism, only materialized
+    when > 1 — see LlamaConfig.sequence_axis / parallel/ring_attention.py)."""
 
     data: int = 1
     fsdp: int = 1
     model: int = 1
+    sequence: int = 1
     axis_names: Tuple[str, str, str] = ("data", "fsdp", "model")
 
 

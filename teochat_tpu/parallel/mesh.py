@@ -20,15 +20,21 @@ from teochat_tpu.config import MeshConfig
 
 
 def create_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
-    """Build a (data, fsdp, model) mesh.
+    """Build a (data, fsdp, model[, sequence]) mesh.
 
     Axis sizes multiply to the device count; any axis given as -1 absorbs the
-    remainder (at most one). Defaults to all devices on the fsdp axis.
+    remainder (at most one). Defaults to all devices on the fsdp axis. The
+    `sequence` axis (context parallelism) is appended only when its size
+    exceeds 1, so existing 3-axis layouts are untouched.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     cfg = cfg or MeshConfig(fsdp=-1)
     sizes = [cfg.data, cfg.fsdp, cfg.model]
+    names = list(cfg.axis_names)
+    if cfg.sequence != 1:
+        sizes.append(cfg.sequence)
+        names.append("sequence")
     if sizes.count(-1) > 1:
         raise ValueError("at most one mesh axis may be -1")
     if -1 in sizes:
@@ -39,7 +45,7 @@ def create_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     if int(np.prod(sizes)) != n:
         raise ValueError(f"mesh {sizes} != {n} devices")
     arr = np.asarray(devices).reshape(sizes)
-    return Mesh(arr, cfg.axis_names)
+    return Mesh(arr, tuple(names))
 
 
 def local_mesh() -> Mesh:

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)
     p.add_argument("--mesh_model", type=int, default=1)
+    p.add_argument("--mesh_sequence", type=int, default=1,
+                   help="context parallelism: shard the sequence over this "
+                        "many devices (ring attention)")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
@@ -103,7 +106,8 @@ def main(argv=None):
         lora_r=args.lora_r,
         lora_alpha=args.lora_alpha,
         group_by_modality_length=args.group_by_modality_length,
-        mesh=MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp, model=args.mesh_model),
+        mesh=MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
+                        model=args.mesh_model, sequence=args.mesh_sequence),
     )
     with profile_trace(args.profile_dir):
         train(model_args, data_args, training_args)

@@ -211,6 +211,17 @@ def train(
     mesh = create_mesh(training_args.mesh) if jax.device_count() > 1 else None
     if mesh is not None:
         params = shard_params(params, mesh)
+        # ambient mesh: the ring-attention shard_map (context parallelism)
+        # resolves its axis from it; harmless otherwise
+        jax.set_mesh(mesh)
+    if training_args.mesh.sequence > 1:
+        import dataclasses
+
+        # route cache-free attention through the ppermute K/V ring
+        # (parallel/ring_attention.py); GSPMD shards the rest positionally
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, sequence_axis="sequence")
+        )
 
     # auto-resume (reference train.py:1109-1112)
     resume = latest_checkpoint(training_args.output_dir)

@@ -146,3 +146,60 @@ def test_decoder_sequence_parallel_grads_match():
     for a, c in zip(flat_ref, flat_seq):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_create_mesh_sequence_axis():
+    from teochat_tpu.config import MeshConfig
+    from teochat_tpu.parallel import create_mesh
+
+    m = create_mesh(MeshConfig(data=1, fsdp=2, model=1, sequence=4))
+    assert dict(zip(m.axis_names, m.devices.shape)) == {
+        "data": 1, "fsdp": 2, "model": 1, "sequence": 4}
+    # default sequence=1 keeps the 3-axis layout
+    m3 = create_mesh(MeshConfig(data=2, fsdp=2, model=2))
+    assert m3.axis_names == ("data", "fsdp", "model")
+
+
+def test_train_step_sequence_parallel_loss_matches():
+    """A full sharded LoRA train step with the sequence axis active produces
+    the same loss as the unsharded step — the trainer-level wiring
+    (--mesh_sequence) end to end."""
+    import dataclasses
+
+    from teochat_tpu.config import MeshConfig, tiny_test_config
+    from teochat_tpu.constants import IMAGE_TOKEN_INDEX
+    from teochat_tpu.models import fusion as fusion_mod
+    from teochat_tpu.models.teochat import init_teochat
+    from teochat_tpu.parallel import create_mesh, shard_params
+    from teochat_tpu.train.trainer import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = tiny_test_config()
+    params = init_teochat(jax.random.PRNGKey(0), cfg)
+    tpf = cfg.vision.num_patches
+    ids = [[1, 5, IMAGE_TOKEN_INDEX, 9, 7, 2, 4, 3]]
+    labels = [[-100, -100, -100, -100, 7, 2, 4, 3]]
+    plan = fusion_mod.build_fusion_plan(
+        ids, labels=labels, tokens_per_frame=tpf, pad_to=16
+    )
+    pixels = jnp.asarray(
+        np.random.RandomState(0).randn(1, 3, 28, 28), jnp.float32
+    )
+    optimizer = make_optimizer(1e-3, total_steps=10)
+
+    def one_step(run_cfg, p):
+        state = jax.jit(lambda q: init_train_state(q, optimizer))(p)
+        step = make_train_step(run_cfg, optimizer)
+        _, loss = step(state, plan, pixels)
+        return float(loss)
+
+    ref = one_step(cfg, params)
+    seq_cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, sequence_axis="sequence")
+    )
+    mesh = create_mesh(MeshConfig(data=1, fsdp=2, model=1, sequence=4))
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        got = one_step(seq_cfg, sharded)
+    assert abs(got - ref) < 2e-3, (got, ref)
