@@ -318,3 +318,26 @@ def test_spec_emissions_sampling_exactness():
     sel = match_all[:, 0]
     freq1 = np.bincount(emit_all[sel, 1], minlength=4) / sel.sum()
     np.testing.assert_allclose(freq1, p1, atol=0.04)
+
+
+def test_engine_soak_slot_recycling(model):
+    """Many short requests through few slots: repeated admission, slot free,
+    hist rewrite, and cache-row reuse must stay correct (speculative mode,
+    greedy outputs stay reproducible request-over-request)."""
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.0, do_sample=False,
+                           stop_strings=())
+    engine = BatchEngine(model, max_slots=2, max_len=96, chunk=2,
+                         speculative_k=3).start()
+    try:
+        prompts = [[1, 5 + (i % 7), 9, 4 + (i % 3)] for i in range(16)]
+        expected = {}
+        for i, p in enumerate(prompts):
+            out = engine.submit(p, None, gen)
+            key = tuple(p)
+            if key in expected:
+                assert out == expected[key], f"request {i} diverged"
+            else:
+                expected[key] = out
+        assert engine.stats["requests"] == len(prompts)
+    finally:
+        engine.shutdown()
