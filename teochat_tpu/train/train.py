@@ -211,9 +211,11 @@ def train(
     mesh = create_mesh(training_args.mesh) if jax.device_count() > 1 else None
     if mesh is not None:
         params = shard_params(params, mesh)
-        # ambient mesh: the ring-attention shard_map (context parallelism)
-        # resolves its axis from it; harmless otherwise
-        jax.set_mesh(mesh)
+        if training_args.mesh.sequence > 1:
+            # ambient mesh: the ring-attention shard_map (context
+            # parallelism) resolves its axis from it. Set only when needed —
+            # it is process-global state.
+            jax.set_mesh(mesh)
     if training_args.mesh.sequence > 1:
         import dataclasses
 
