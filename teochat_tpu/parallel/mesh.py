@@ -32,6 +32,11 @@ def create_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     cfg = cfg or MeshConfig(fsdp=-1)
     sizes = [cfg.data, cfg.fsdp, cfg.model]
     names = list(cfg.axis_names)
+    if cfg.sequence < 1:
+        # no -1 wildcard here: an implicitly-sized sequence axis would be
+        # a silent replication sink (the trainer only activates the ring
+        # when sequence > 1 is EXPLICIT)
+        raise ValueError(f"sequence axis size must be >= 1, got {cfg.sequence}")
     if cfg.sequence != 1:
         sizes.append(cfg.sequence)
         names.append("sequence")

@@ -211,19 +211,28 @@ def train(
     mesh = create_mesh(training_args.mesh) if jax.device_count() > 1 else None
     if mesh is not None:
         params = shard_params(params, mesh)
-        if training_args.mesh.sequence > 1:
-            # ambient mesh: the ring-attention shard_map (context
-            # parallelism) resolves its axis from it. Set only when needed —
-            # it is process-global state.
-            jax.set_mesh(mesh)
+    # `run_cfg` is the config the TRAIN STEP compiles against; `cfg` (what
+    # checkpoints persist) never carries run-topology knobs like
+    # sequence_axis — a checkpoint from a --mesh_sequence run must load on
+    # any topology.
+    run_cfg = cfg
+    _mesh_ctx = None
     if training_args.mesh.sequence > 1:
+        if mesh is None:
+            raise ValueError(
+                f"--mesh_sequence {training_args.mesh.sequence} needs a "
+                f"multi-device runtime (have {jax.device_count()} device)"
+            )
         import dataclasses
 
         # route cache-free attention through the ppermute K/V ring
-        # (parallel/ring_attention.py); GSPMD shards the rest positionally
-        cfg = dataclasses.replace(
+        # (parallel/ring_attention.py); GSPMD shards the rest positionally.
+        # The ring's shard_map resolves its axis from the ambient mesh —
+        # process-global state, restored before returning.
+        run_cfg = dataclasses.replace(
             cfg, llm=dataclasses.replace(cfg.llm, sequence_axis="sequence")
         )
+        _mesh_ctx = jax.set_mesh(mesh)  # applies immediately
 
     # auto-resume (reference train.py:1109-1112)
     resume = latest_checkpoint(training_args.output_dir)
@@ -261,7 +270,7 @@ def train(
         )(params)
 
     train_step = make_train_step(
-        cfg, optimizer, trainable_filter=trainable_filter,
+        run_cfg, optimizer, trainable_filter=trainable_filter,
         remat=training_args.gradient_checkpointing,
     )
 
@@ -326,4 +335,6 @@ def train(
     save_checkpoint(training_args.output_dir, state.params, cfg, step=step)
     if writer is not None:
         writer.close()
+    if _mesh_ctx is not None:
+        _mesh_ctx.__exit__(None, None, None)  # restore the ambient mesh
     return state

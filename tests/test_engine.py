@@ -329,7 +329,7 @@ def test_engine_soak_slot_recycling(model):
     engine = BatchEngine(model, max_slots=2, max_len=96, chunk=2,
                          speculative_k=3).start()
     try:
-        prompts = [[1, 5 + (i % 7), 9, 4 + (i % 3)] for i in range(16)]
+        prompts = [[1, 5 + (i % 5), 9, 4 + (i % 3)] for i in range(16)]  # lcm(5,3)=15 < 16 -> prompt 15 repeats prompt 0
         expected = {}
         for i, p in enumerate(prompts):
             out = engine.submit(p, None, gen)

@@ -208,3 +208,43 @@ def test_kbit_lora_training_over_int8_backbone(setup, tmp_path):
     # int8 kernel untouched; LoRA B moved
     assert state.params["llm"]["layers"]["attn"]["q"]["kernel"].dtype.name == "int8"
     assert np.abs(np.asarray(state.params["llm"]["layers"]["attn"]["q"]["lora_b"])).max() > 0
+
+
+def test_sequence_parallel_training_run(setup, tmp_path):
+    """Full train() driver with --mesh_sequence wiring: runs steps on a
+    (1,2,1,sequence=4) mesh, and the SAVED checkpoint config must NOT carry
+    the run-topology sequence_axis (it must load on any topology). After
+    train() returns, the ambient mesh is restored."""
+    cfg, params, tok, data = setup
+    from teochat_tpu.config import MeshConfig, TEOChatConfig
+
+    ma, da, ta = _args(
+        tmp_path / "seq", max_steps=2,
+        mesh=MeshConfig(data=1, fsdp=2, model=1, sequence=4),
+    )
+    state = train(ma, da, ta, cfg=cfg, params=params, tokenizer=tok,
+                  dataset=data, max_steps_override=2)
+    assert int(state.step) == 2
+    assert dict(jax.sharding.get_abstract_mesh().shape) == {}  # restored
+    import glob
+    import json
+    import os
+
+    cfgs = glob.glob(str(tmp_path / "seq" / "checkpoint-*" / "config.json"))
+    assert cfgs
+    saved = json.load(open(sorted(cfgs)[-1]))
+    assert saved.get("llm", {}).get("sequence_axis") is None
+
+
+def test_sequence_parallel_single_device_rejected(setup, tmp_path, monkeypatch):
+    cfg, params, tok, data = setup
+    from teochat_tpu.config import MeshConfig
+
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    ma, da, ta = _args(
+        tmp_path / "seq1", max_steps=2,
+        mesh=MeshConfig(sequence=2),
+    )
+    with pytest.raises(ValueError, match="mesh_sequence"):
+        train(ma, da, ta, cfg=cfg, params=params, tokenizer=tok,
+              dataset=data, max_steps_override=2)
