@@ -179,9 +179,11 @@ def test_kbit_lora_training_over_int8_backbone(setup, tmp_path):
     from teochat_tpu.train.lora import add_lora_params
 
     cfg, params, tok, data = setup
-    qparams = dict(params)
+    # deep-copy: the train step donates its state; reusing the fixture's
+    # vision/projector buffers would delete them for later tests
+    qparams = jax.tree.map(jnp.copy, dict(params))
     qparams["llm"] = add_lora_params(
-        jax.random.PRNGKey(5), quantize_llama_params(params["llm"]), rank=4
+        jax.random.PRNGKey(5), quantize_llama_params(qparams["llm"]), rank=4
     )
     ma, da, ta = _args(tmp_path / "kbit", lora_enable=False)  # LoRA already added
     from teochat_tpu.train.lora import lora_trainable_filter
@@ -222,7 +224,10 @@ def test_sequence_parallel_training_run(setup, tmp_path):
         tmp_path / "seq", max_steps=2,
         mesh=MeshConfig(data=1, fsdp=2, model=1, sequence=4),
     )
-    state = train(ma, da, ta, cfg=cfg, params=params, tokenizer=tok,
+    # copy: train() donates its state through the train step, and earlier
+    # tests in this module may already have consumed shared-fixture buffers
+    state = train(ma, da, ta, cfg=cfg,
+                  params=jax.tree.map(jnp.copy, params), tokenizer=tok,
                   dataset=data, max_steps_override=2)
     assert int(state.step) == 2
     assert dict(jax.sharding.get_abstract_mesh().shape) == {}  # restored
@@ -246,5 +251,6 @@ def test_sequence_parallel_single_device_rejected(setup, tmp_path, monkeypatch):
         mesh=MeshConfig(sequence=2),
     )
     with pytest.raises(ValueError, match="mesh_sequence"):
-        train(ma, da, ta, cfg=cfg, params=params, tokenizer=tok,
+        train(ma, da, ta, cfg=cfg,
+              params=jax.tree.map(jnp.copy, params), tokenizer=tok,
               dataset=data, max_steps_override=2)
