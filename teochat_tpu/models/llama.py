@@ -162,11 +162,6 @@ def _attention_layer(
             # only (causal masking subsumes the pad mask, as with flash).
             # Explicitly configured -> misuse is an ERROR, not a silent
             # fallback to O(S^2)-per-device attention.
-            if cfg.num_kv_heads != cfg.num_heads:
-                raise NotImplementedError(
-                    "sequence_axis requires num_kv_heads == num_heads "
-                    "(the ring kernel is full-head; GQA grouping TBD)"
-                )
             if not (right_padded or kv_mask is None):
                 raise ValueError(
                     "sequence_axis needs right-padded batches (causal-only "
@@ -182,7 +177,6 @@ def _attention_layer(
             and jax.default_backend() == "tpu"
             and cfg.head_dim % 128 == 0
             and s % 128 == 0
-            and cfg.num_kv_heads == cfg.num_heads  # vjp kernel is full-head
         ):
             # right padding + causal => the mask is redundant; use the
             # differentiable Pallas flash kernel (fwd + custom bwd)
@@ -361,7 +355,14 @@ def llama_forward(
             # via scalar prefetch (ops/int4_matmul.int4_matmul_tiled_stacked).
             if isinstance(tree, dict):
                 if "packed" in tree or "packed_tiles" in tree:
-                    return tree
+                    # only the quantized group itself stays stacked; any other
+                    # leaves (e.g. LoRA a/b/scale) must be layer-sliced like
+                    # everything else or they reach the einsums un-sliced
+                    return {
+                        k: v if k in ("packed", "packed_tiles", "scale")
+                        else _slice_layer(v, l)
+                        for k, v in tree.items()
+                    }
                 return {k: _slice_layer(v, l) for k, v in tree.items()}
             return jax.lax.dynamic_index_in_dim(tree, l, 0, keepdims=False)
 

@@ -62,8 +62,9 @@ def _attn_block(x: jnp.ndarray, p: Params, cfg: VisionConfig) -> jnp.ndarray:
     # Pallas one-shot kernel (ops/vit_attention.py) at 52.2 ms/batch vs XLA's
     # 49.1 — the kernel's 1.7x isolated win is eaten by the layout transposes
     # around the pallas_call plus XLA's fusion of attention with the
-    # neighbouring projections. Kept as an opt-in (impl="pallas") for shapes
-    # where the score matrices stop fitting cache-friendly fusions.
+    # neighbouring projections. The kernel remains standalone in
+    # ops/vit_attention.py (not routed from here) for shapes where the score
+    # matrices stop fitting cache-friendly fusions.
     out = dot_product_attention(q, k, v, causal=False)
     return _dense(out.reshape(b, n, h * hd), p["out"])
 

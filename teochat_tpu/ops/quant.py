@@ -117,11 +117,15 @@ def _int4_proj_tiled(
         )
         return y.reshape(*lead, n_out)
     if tiles.ndim == 4:
-        # no layer context (or CPU): slice the layer first
-        if layer is not None:
-            tiles = jax.lax.dynamic_index_in_dim(tiles, layer, 0, keepdims=False)
-            scale = jax.lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
-            return _int4_proj_tiled(x, {"packed_tiles": tiles, "scale": scale})
+        # no TPU backend: slice the layer first, then take the un-tile path
+        if layer is None:
+            raise ValueError(
+                "int4_proj: layer-stacked packed_tiles (ndim=4) require a "
+                "layer index; pass layer= or slice the layer axis first"
+            )
+        tiles = jax.lax.dynamic_index_in_dim(tiles, layer, 0, keepdims=False)
+        scale = jax.lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
+        return _int4_proj_tiled(x, {"packed_tiles": tiles, "scale": scale})
     if jax.default_backend() == "tpu" and tiles.ndim == 3:
         m_pad = max(8, ((x.size // (2 * k2) + 7) // 8) * 8)
 

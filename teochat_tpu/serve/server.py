@@ -116,6 +116,9 @@ class ChatServer:
             conv_mode=self.chat.conv_mode,
             timestamps=payload.get("timestamps", []),
             bbox=payload.get("bbox"),
+            mm_use_im_start_end=getattr(
+                getattr(self.chat.model, "cfg", None), "mm_use_im_start_end", False
+            ),
         )
         temperature = float(payload.get("temperature", 0.2))
         gen = GenerationConfig(
@@ -190,6 +193,10 @@ class ChatServer:
                         chat.processor, conv_mode=chat.conv_mode,
                         timestamps=payload.get("timestamps", []),
                         bbox=payload.get("bbox"),
+                        mm_use_im_start_end=getattr(
+                            getattr(chat.model, "cfg", None),
+                            "mm_use_im_start_end", False
+                        ),
                     )
                 except Exception as e:  # noqa: BLE001 — HTTP 400
                     return self._send(400, {"error": str(e)})
@@ -323,7 +330,10 @@ def main(argv=None):
     p.add_argument("--max_len", type=int, default=2048)
     p.add_argument("--speculative_k", type=int, default=0,
                    help="verify k prompt-lookup drafts per decode step "
-                        "(greedy requests; engine mode only)")
+                        "(engine mode only; greedy rows are token-exact, "
+                        "temperature>0 rows use distribution-exact "
+                        "speculative sampling — same distribution, not the "
+                        "same seeded draw as the plain path)")
     args = p.parse_args(argv)
 
     from teochat_tpu.serve.chat import Chat

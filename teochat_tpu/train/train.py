@@ -60,6 +60,10 @@ class ModelArguments:
     mm_vision_select_layer: int = -2
     mm_vision_select_feature: str = "patch"
     pretrain_mm_mlp_adapter: Optional[str] = None
+    # reference train.py:58-59 (defaults match; train_teochat.sh:17 passes
+    # --mm_use_im_start_end False, patch-token default stays True)
+    mm_use_im_start_end: bool = False
+    mm_use_im_patch_token: bool = True
 
 
 @dataclass
@@ -151,6 +155,30 @@ def train(
         cfg, params = model.cfg, model.params
         data_args.image_processor = processors["image"]
 
+    # vision-tokenizer machinery (reference llava_arch.py:348-391 via
+    # train.py:1083-1086): add special tokens, mean-init-resize embeddings,
+    # and plumb the wrap flag into the data pipeline. Skipped when the
+    # injected test tokenizer can't grow (no add_tokens).
+    data_args.mm_use_im_start_end = model_args.mm_use_im_start_end
+    if tokenizer is not None and hasattr(tokenizer, "add_tokens") and (
+        model_args.mm_use_im_start_end or model_args.mm_use_im_patch_token
+    ):
+        from teochat_tpu.vision_tokenizer import initialize_vision_tokenizer
+
+        pretrain_rows = None
+        if model_args.pretrain_mm_mlp_adapter and model_args.mm_use_im_start_end:
+            import torch
+
+            _pt = torch.load(
+                model_args.pretrain_mm_mlp_adapter, map_location="cpu",
+                weights_only=True,
+            )
+            w = _pt.get("model.embed_tokens.weight")
+            pretrain_rows = w.float().numpy() if w is not None else None
+        cfg, params, _ = initialize_vision_tokenizer(
+            model_args, cfg, params, tokenizer, pretrain_embed_rows=pretrain_rows
+        )
+
     # LoRA + freezing (reference train.py:974-1006)
     trainable_filter = None
     if training_args.lora_enable:
@@ -164,6 +192,13 @@ def train(
         trainable_filter = lora_trainable_filter
     elif model_args.tune_mm_mlp_adapter:
         trainable_filter = lambda p: "projector" in p  # noqa: E731
+        if model_args.mm_use_im_start_end:
+            # new-token rows must train with the adapter; lm_head stays
+            # frozen (reference llava_arch.py:369-374)
+            from teochat_tpu.vision_tokenizer import embed_trainable_filter
+
+            base = trainable_filter
+            trainable_filter = embed_trainable_filter(base)
     elif model_args.freeze_backbone:
         trainable_filter = lambda p: not p.startswith("vision/")  # noqa: E731
     if model_args.freeze_mm_mlp_adapter and trainable_filter is not None:
@@ -233,108 +268,112 @@ def train(
             cfg, llm=dataclasses.replace(cfg.llm, sequence_axis="sequence")
         )
         _mesh_ctx = jax.set_mesh(mesh)  # applies immediately
+    try:
 
-    # auto-resume (reference train.py:1109-1112)
-    resume = latest_checkpoint(training_args.output_dir)
-    start_step = 0
-    if resume is not None:
-        rank0_print(f"Resuming from {resume}")
-        from teochat_tpu.train.trainer import partition_params
+        # auto-resume (reference train.py:1109-1112)
+        resume = latest_checkpoint(training_args.output_dir)
+        start_step = 0
+        if resume is not None:
+            rank0_print(f"Resuming from {resume}")
+            from teochat_tpu.train.trainer import partition_params
 
-        if trainable_filter is not None:
-            opt_template = jax.eval_shape(
-                lambda p: optimizer.init(partition_params(p, trainable_filter)[0]),
-                params,
+            if trainable_filter is not None:
+                opt_template = jax.eval_shape(
+                    lambda p: optimizer.init(partition_params(p, trainable_filter)[0]),
+                    params,
+                )
+            else:
+                opt_template = jax.eval_shape(optimizer.init, params)
+            params_r, _, opt_state = load_checkpoint(
+                resume, restore_opt=True,
+                params_template=params, opt_template=opt_template,
             )
+            params = params_r
+            if opt_state is None:
+                state = jax.jit(
+                    lambda p: init_train_state(p, optimizer, trainable_filter)
+                )(params)
+                opt_state = state.opt_state
+            state = TrainState(
+                params=params,
+                opt_state=opt_state,
+                step=jnp.asarray(int(os.path.basename(resume).split("-")[1])),
+            )
+            start_step = int(state.step)
         else:
-            opt_template = jax.eval_shape(optimizer.init, params)
-        params_r, _, opt_state = load_checkpoint(
-            resume, restore_opt=True,
-            params_template=params, opt_template=opt_template,
-        )
-        params = params_r
-        if opt_state is None:
             state = jax.jit(
                 lambda p: init_train_state(p, optimizer, trainable_filter)
             )(params)
-            opt_state = state.opt_state
-        state = TrainState(
-            params=params,
-            opt_state=opt_state,
-            step=jnp.asarray(int(os.path.basename(resume).split("-")[1])),
+
+        train_step = make_train_step(
+            run_cfg, optimizer, trainable_filter=trainable_filter,
+            remat=training_args.gradient_checkpointing,
         )
-        start_step = int(state.step)
-    else:
-        state = jax.jit(
-            lambda p: init_train_state(p, optimizer, trainable_filter)
-        )(params)
 
-    train_step = make_train_step(
-        run_cfg, optimizer, trainable_filter=trainable_filter,
-        remat=training_args.gradient_checkpointing,
-    )
+        writer = None
+        if training_args.report_to == "tensorboard":
+            try:
+                from tensorboardX import SummaryWriter
 
-    writer = None
-    if training_args.report_to == "tensorboard":
-        try:
-            from tensorboardX import SummaryWriter
+                writer = SummaryWriter(os.path.join(training_args.output_dir, "tb"))
+            except ImportError:
+                pass
 
-            writer = SummaryWriter(os.path.join(training_args.output_dir, "tb"))
-        except ImportError:
-            pass
-
-    sampler = LengthGroupedSampler(
-        training_args.per_device_train_batch_size,
-        world_size=jax.process_count(),
-        lengths=train_dataset.modality_lengths,
-        generator=np.random.default_rng(training_args.seed),
-        group_by_modality=training_args.group_by_modality_length,
-    )
-
-    step = start_step
-    micro = 0
-    t0 = time.time()
-    for epoch in range(training_args.num_train_epochs):
-        for plan, pixels in _batches(
-            train_dataset, collator, sampler,
+        sampler = LengthGroupedSampler(
             training_args.per_device_train_batch_size,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(),
-        ):
+            world_size=jax.process_count(),
+            lengths=train_dataset.modality_lengths,
+            generator=np.random.default_rng(training_args.seed),
+            group_by_modality=training_args.group_by_modality_length,
+        )
+
+        step = start_step
+        micro = 0
+        t0 = time.time()
+        for epoch in range(training_args.num_train_epochs):
+            for plan, pixels in _batches(
+                train_dataset, collator, sampler,
+                training_args.per_device_train_batch_size,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            ):
+                if step >= total_steps:
+                    break
+                pixels = jnp.asarray(
+                    pixels, jnp.bfloat16 if training_args.bf16 else jnp.float32
+                )
+                state, loss = train_step(state, plan, pixels)
+                micro += 1
+                if micro % accum:
+                    continue  # grad accumulated; optimizer update not applied yet
+                step += 1
+                if step % training_args.logging_steps == 0:
+                    loss_v = float(loss)
+                    rank0_print(
+                        f"step {step}/{total_steps} loss {loss_v:.4f} "
+                        f"({(time.time() - t0) / training_args.logging_steps:.2f}s/step)"
+                    )
+                    if writer is not None:
+                        writer.add_scalar("train/loss", loss_v, step)
+                    t0 = time.time()
+                if step % training_args.save_steps == 0:
+                    save_checkpoint(
+                        training_args.output_dir, state.params, cfg,
+                        opt_state=state.opt_state, step=step,
+                    )
+                    _prune_checkpoints(
+                        training_args.output_dir, training_args.save_total_limit
+                    )
             if step >= total_steps:
                 break
-            pixels = jnp.asarray(
-                pixels, jnp.bfloat16 if training_args.bf16 else jnp.float32
-            )
-            state, loss = train_step(state, plan, pixels)
-            micro += 1
-            if micro % accum:
-                continue  # grad accumulated; optimizer update not applied yet
-            step += 1
-            if step % training_args.logging_steps == 0:
-                loss_v = float(loss)
-                rank0_print(
-                    f"step {step}/{total_steps} loss {loss_v:.4f} "
-                    f"({(time.time() - t0) / training_args.logging_steps:.2f}s/step)"
-                )
-                if writer is not None:
-                    writer.add_scalar("train/loss", loss_v, step)
-                t0 = time.time()
-            if step % training_args.save_steps == 0:
-                save_checkpoint(
-                    training_args.output_dir, state.params, cfg,
-                    opt_state=state.opt_state, step=step,
-                )
-                _prune_checkpoints(
-                    training_args.output_dir, training_args.save_total_limit
-                )
-        if step >= total_steps:
-            break
 
-    # final save: adapters + projector split (reference train.py:1117-1130)
-    save_checkpoint(training_args.output_dir, state.params, cfg, step=step)
-    if writer is not None:
-        writer.close()
-    if _mesh_ctx is not None:
-        _mesh_ctx.__exit__(None, None, None)  # restore the ambient mesh
-    return state
+        # final save: adapters + projector split (reference train.py:1117-1130)
+        save_checkpoint(training_args.output_dir, state.params, cfg, step=step)
+        if writer is not None:
+            writer.close()
+        return state
+    finally:
+        # always restore the ambient mesh, even if the training
+        # loop raises (a leaked global mesh poisons later jit calls)
+        if _mesh_ctx is not None:
+            _mesh_ctx.__exit__(None, None, None)

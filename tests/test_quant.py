@@ -74,6 +74,29 @@ def test_int4_roundtrip_and_proj():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+def test_int4_stacked_tiles_require_layer_index():
+    """Layer-stacked packed tiles (4-D) without a layer index is API misuse:
+    must raise, not silently mis-shape the un-tile path."""
+    import pytest
+
+    from teochat_tpu.ops.quant import int4_proj, quantize_kernel_int4
+
+    w = jnp.asarray(np.random.RandomState(7).randn(16, 24), jnp.float32)
+    q = quantize_kernel_int4(w)
+    if "packed_tiles" not in q:
+        pytest.skip("narrow kernel quantized to flat packed layout")
+    stacked = {
+        "packed_tiles": jnp.stack([q["packed_tiles"]] * 2),
+        "scale": jnp.stack([q["scale"]] * 2),
+    }
+    with pytest.raises(ValueError, match="layer index"):
+        int4_proj(jnp.ones((3, 16), jnp.float32), stacked)
+    # with a layer index the stacked path matches the flat one
+    got = int4_proj(jnp.ones((3, 16), jnp.float32), stacked, layer=1)
+    ref = int4_proj(jnp.ones((3, 16), jnp.float32), q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_int4_forward_correlates():
     from teochat_tpu.ops.quant import quantize_llama_params_int4
 
