@@ -91,7 +91,10 @@ def load_config(model_path: str) -> TEOChatConfig:
         mm_vision_select_layer=hf.get("mm_vision_select_layer", -2),
         mm_vision_select_feature=hf.get("mm_vision_select_feature", "patch"),
         mm_use_im_start_end=hf.get("mm_use_im_start_end", False),
-        mm_use_im_patch_token=hf.get("mm_use_im_patch_token", False),
+        # reference builder.py:140 defaults the flag TRUE when absent (and
+        # train.py:1086 always writes it, default True) — so a stock TEOChat
+        # checkpoint gets <im_patch> added + a vocab resize at load time
+        mm_use_im_patch_token=hf.get("mm_use_im_patch_token", True),
         image_aspect_ratio=hf.get("image_aspect_ratio", None),
         tokenizer_padding_side=hf.get("tokenizer_padding_side", "right"),
         tokenizer_model_max_length=hf.get("tokenizer_model_max_length", 3072),
@@ -155,10 +158,30 @@ def load_pretrained_model(
 
     if lora_path is not None:
         # branch A: non-LoRA trainables (projector etc.) + LoRA merge
+        # vocab-mismatch resize (reference builder.py:42-45): a LoRA dir whose
+        # tokenizer grew vs the base (mm_use_im_start_end training) declares
+        # the larger vocab in its config.json; grow the base embed/lm_head to
+        # match (mean-init stand-in for the reference's empty alloc — the
+        # trained rows arrive below via non_lora_trainables when present).
+        from teochat_tpu.vision_tokenizer import resize_token_embeddings
+
+        base_vocab = llm_params["embed_tokens"]["embedding"].shape[0]
+        if cfg.llm.vocab_size != base_vocab:
+            llm_params = resize_token_embeddings(llm_params, cfg.llm.vocab_size)
         nlt_file = os.path.join(lora_path, "non_lora_trainables.bin")
         if os.path.exists(nlt_file):
             nlt = _strip_prefix(_load_torch_file(nlt_file))
             proj_keys = {k: v for k, v in nlt.items() if "mm_projector" in k} or proj_keys
+            # trained embed/lm_head rows saved alongside the adapter
+            # (reference train.py:196-199 keys_to_match 'embed_tokens')
+            emb_w = nlt.get("model.embed_tokens.weight")
+            if emb_w is not None:
+                llm_params = dict(llm_params)
+                llm_params["embed_tokens"] = {"embedding": convert_hf._np(emb_w)}
+            head_w = nlt.get("lm_head.weight")
+            if head_w is not None:
+                llm_params = dict(llm_params)
+                llm_params["lm_head"] = {"kernel": convert_hf._np(head_w).T}
         adapter = {}
         for fname in ("adapter_model.safetensors", "adapter_model.bin"):
             f = os.path.join(lora_path, fname)
@@ -208,6 +231,25 @@ def load_pretrained_model(
             "LanguageBind_Image checkpoint dir"
         )
 
+    # load-time vision-token machinery (reference builder.py:135-148): add
+    # the special tokens the config flags call for, then resize embeddings to
+    # the grown tokenizer. Runs BEFORE quantization so the resize works on fp
+    # weights (the reference resizes the fp model before bitsandbytes wraps).
+    tokenizer = _load_tokenizer(lora_path or base_path)
+    from teochat_tpu.vision_tokenizer import add_vision_tokens, resize_token_embeddings
+
+    add_vision_tokens(
+        tokenizer, cfg.mm_use_im_patch_token, cfg.mm_use_im_start_end
+    )
+    if len(tokenizer) != llm_params["embed_tokens"]["embedding"].shape[0]:
+        llm_params = resize_token_embeddings(llm_params, len(tokenizer))
+    if cfg.llm.vocab_size != len(tokenizer):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, vocab_size=len(tokenizer))
+        )
+
     dtype = jnp.bfloat16
     params = {
         "vision": jax.tree.map(lambda x: jnp.asarray(x, dtype), vision_params),
@@ -233,7 +275,6 @@ def load_pretrained_model(
     else:
         params["llm"] = jax.tree.map(lambda x: jnp.asarray(x, dtype), llm_params)
 
-    tokenizer = _load_tokenizer(lora_path or base_path)
     model = TEOChat(cfg, params, tokenizer=tokenizer)
     processor = {"image": ImageProcessor(), "video": ImageProcessor()}
     context_len = cfg.max_sequence_length

@@ -51,6 +51,9 @@ class DataArguments:
     image_aspect_ratio: Optional[str] = None
     prompt_strategy: Optional[str] = "interleave"
     chronological_prefix: bool = True
+    # train.py:1083-1084 plumbs mm_use_im_start_end from ModelArguments into
+    # data_args; when set, every <image> is wrapped <im_start><image><im_end>
+    mm_use_im_start_end: bool = False
     video_as_image_list: bool = True
     num_frames: int = 8
     image_processor: Any = None
@@ -104,6 +107,12 @@ def preprocess_multimodal(
 
             value = value.replace(DEFAULT_IMAGE_TOKEN, replace_token)
             value = value.replace(DEFAULT_VIDEO_TOKEN, vid_replace_token)
+            if getattr(data_args, "mm_use_im_start_end", False):
+                # upstream-LLaVA wrap implied by the flag; targeted at each
+                # <image> so interleave's "Image {i}: " text stays outside
+                from teochat_tpu.vision_tokenizer import wrap_image_tokens
+
+                value = wrap_image_tokens(value)
             sentence["value"] = value
     return sources
 

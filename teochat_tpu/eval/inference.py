@@ -44,6 +44,7 @@ def _build_prompt(
     timestamps: Sequence[str],
     prompt_strategy: Optional[str],
     chronological_prefix: bool,
+    mm_use_im_start_end: bool = False,
 ):
     """Returns (prompt, sorted_image_paths, stop_str)."""
     conv = conv_templates[conv_mode].copy()
@@ -63,6 +64,11 @@ def _build_prompt(
         )
 
     prompt = replace_video_token(prompt, image_paths, prompt_strategy)
+    if mm_use_im_start_end:
+        # models trained with the wrap expect it at inference too
+        from teochat_tpu.vision_tokenizer import wrap_image_tokens
+
+        prompt = wrap_image_tokens(prompt)
     stop_str = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
     return prompt, list(image_paths), stop_str
 
@@ -87,7 +93,11 @@ def run_inference_single(
     `speculative_k` > 0 enables prompt-lookup speculative decoding for greedy
     runs (temperature 0) — token-identical outputs, fewer decode steps."""
     prompt, image_paths, stop_str = _build_prompt(
-        inp, image_paths, conv_mode, timestamps, prompt_strategy, chronological_prefix
+        inp, image_paths, conv_mode, timestamps, prompt_strategy,
+        chronological_prefix,
+        mm_use_im_start_end=getattr(
+            getattr(model, "cfg", None), "mm_use_im_start_end", False
+        ),
     )
     pixel_values = processor.preprocess(list(image_paths))["pixel_values"]
     input_ids = tokenizer_image_token(prompt, tokenizer, IMAGE_TOKEN_INDEX)
@@ -203,6 +213,9 @@ def run_inference_batched(
         prompt, image_paths, stop_str = _build_prompt(
             example["conversations"][0]["value"], example["video"], conv_mode,
             example["timestamp"], prompt_strategy, chronological_prefix,
+            mm_use_im_start_end=getattr(
+                getattr(model, "cfg", None), "mm_use_im_start_end", False
+            ),
         )
         ids = tokenizer_image_token(prompt, tokenizer, IMAGE_TOKEN_INDEX)
         n_frames = sum(1 for t in ids if t == IMAGE_TOKEN_INDEX)

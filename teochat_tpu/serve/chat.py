@@ -85,6 +85,7 @@ def build_request(
     history: Sequence[Tuple[str, str]] = (),
     first_turn: bool = True,
     pixel_values=None,
+    mm_use_im_start_end: bool = False,
 ):
     """Build (input_ids, pixel_values, stop_str, rendered_text) for one turn.
 
@@ -119,6 +120,10 @@ def build_request(
             key=lambda t: datetime.strptime(t[1], "%Y-%m-%d"),
         )))
     prompt = replace_video_token(prompt, image_paths, "interleave")
+    if mm_use_im_start_end:
+        from teochat_tpu.vision_tokenizer import wrap_image_tokens
+
+        prompt = wrap_image_tokens(prompt)
 
     input_ids = tokenizer_image_token(prompt, tokenizer, IMAGE_TOKEN_INDEX)
     if image_paths and prompt.count("<image>"):
@@ -234,6 +239,9 @@ class Chat:
             conv_mode=self.conv_mode, timestamps=ts_sorted, bbox=bbox,
             history=self.history, first_turn=self._first_turn,
             pixel_values=frames_sorted,
+            mm_use_im_start_end=getattr(
+                getattr(self.model, "cfg", None), "mm_use_im_start_end", False
+            ),
         )
         gen = GenerationConfig(
             max_new_tokens=max_new_tokens,

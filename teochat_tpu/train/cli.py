@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--freeze_mm_mlp_adapter", action="store_true")
     p.add_argument("--mm_vision_select_layer", type=int, default=-2)
     p.add_argument("--pretrain_mm_mlp_adapter", type=str, default=None)
+    # reference train_teochat.sh:17 style booleans (accept explicit True/False)
+    p.add_argument("--mm_use_im_start_end", type=lambda s: s.lower() == "true",
+                   default=False)
+    p.add_argument("--mm_use_im_patch_token", type=lambda s: s.lower() == "true",
+                   default=True)
     # data
     p.add_argument("--data_name", type=str, default="jirvin16/TEOChatlas")
     p.add_argument("--data_cache_dir", type=str, default=None)
@@ -79,6 +84,8 @@ def main(argv=None):
         freeze_mm_mlp_adapter=args.freeze_mm_mlp_adapter,
         mm_vision_select_layer=args.mm_vision_select_layer,
         pretrain_mm_mlp_adapter=args.pretrain_mm_mlp_adapter,
+        mm_use_im_start_end=args.mm_use_im_start_end,
+        mm_use_im_patch_token=args.mm_use_im_patch_token,
     )
     data_args = DataArguments(
         data_name=args.data_name,
