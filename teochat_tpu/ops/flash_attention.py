@@ -105,7 +105,7 @@ def _flash_kernel(
 )
 def _flash_bhsd(
     q: jnp.ndarray,  # [B, H, S, D]
-    k: jnp.ndarray,  # [B, H, T, D]
+    k: jnp.ndarray,  # [B, Hkv, T, D]; GQA via index map (no expansion)
     v: jnp.ndarray,
     *,
     causal: bool,
@@ -116,6 +116,10 @@ def _flash_bhsd(
 ) -> jnp.ndarray:
     b, h, s, d = q.shape
     t = k.shape[2]
+    # GQA: query head hi reads kv head hi // g through the BlockSpec index
+    # map — the shared kv tile is fetched once per group from HBM, never
+    # materialized h/hkv times (what _repeat_kv would cost in bandwidth)
+    g = h // k.shape[1]
     grid = (b, h, pl.cdiv(s, block_q), pl.cdiv(t, block_k))
 
     kernel = functools.partial(
@@ -135,10 +139,10 @@ def _flash_bhsd(
                 (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
             ),
             pl.BlockSpec(
-                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)
+                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)
             ),
             pl.BlockSpec(
-                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)
+                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -154,7 +158,8 @@ def _flash_bhsd(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * t * d // (2 if causal else 1),
-            bytes_accessed=(2 * b * h * s * d + 2 * b * h * t * d) * q.dtype.itemsize,
+            bytes_accessed=(2 * b * h * s * d + 2 * b * k.shape[1] * t * d)
+            * q.dtype.itemsize,
             transcendentals=b * h * s * t,
         ),
         interpret=interpret,
@@ -185,12 +190,8 @@ def flash_attention(
     t = k.shape[1]
     if scale is None:
         scale = d ** -0.5
-    n_rep = h // k.shape[2]
-    if n_rep > 1:
-        from teochat_tpu.ops.attention import _repeat_kv
-
-        k = _repeat_kv(k, n_rep)
-        v = _repeat_kv(v, n_rep)
+    if h % k.shape[2]:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {k.shape[2]}")
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -270,6 +271,7 @@ def _flash_fwd_with_residuals(q, k, v, *, causal, scale, block_q, block_k,
                               interpret=False):
     b, h, s, d = q.shape
     t = k.shape[2]
+    g = h // k.shape[1]  # GQA group size (k/v stay [B, Hkv, T, D])
     grid = (b, h, pl.cdiv(s, block_q), pl.cdiv(t, block_k))
     kernel = functools.partial(
         _flash_fwd_res_kernel, causal=causal, scale=scale,
@@ -285,8 +287,8 @@ def _flash_fwd_with_residuals(q, k, v, *, causal, scale, block_q, block_k,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -308,12 +310,17 @@ def _flash_fwd_with_residuals(q, k, v, *, causal, scale, block_q, block_k,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
                     dk_ref, dv_ref, dk_scratch, dv_scratch,
-                    *, causal, scale, block_q, block_k):
+                    *, causal, scale, block_q, block_k, num_q_tiles):
+    # grid axis 3 enumerates (group_member, q_tile) pairs: t = g_i*NQ + q_i.
+    # dk/dv for one kv head accumulate over ALL q heads in its group — the
+    # GQA gradient sum happens in the same VMEM scratch that already sums
+    # over q tiles, so no post-kernel reduction pass is needed.
     kv_idx = pl.program_id(2)
-    q_idx = pl.program_id(3)
-    num_q = pl.num_programs(3)
+    t_idx = pl.program_id(3)
+    total = pl.num_programs(3)
+    q_idx = t_idx % num_q_tiles
 
-    @pl.when(q_idx == 0)
+    @pl.when(t_idx == 0)
     def _init():
         dk_scratch[...] = jnp.zeros_like(dk_scratch)
         dv_scratch[...] = jnp.zeros_like(dv_scratch)
@@ -358,7 +365,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
             preferred_element_type=jnp.float32,
         ) * scale
 
-    @pl.when(q_idx == num_q - 1)
+    @pl.when(t_idx == total - 1)
     def _store():
         dk_ref[0, 0] = dk_scratch[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
@@ -416,25 +423,35 @@ def _flash_bwd(q, k, v, o, m, l, do, *, causal, scale, block_q, block_k,
                interpret=False):
     b, h, s, d = q.shape
     t = k.shape[2]
+    hkv = k.shape[1]
+    g = h // hkv  # GQA group size
+    nq = pl.cdiv(s, block_q)
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,S]
     di = jnp.broadcast_to(di[..., None], di.shape + (128,))
 
-    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0))
-    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0))
-    row_spec = pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, ki, qi: (bi, hi, qi, 0))
+    # dKV grid: (b, KV head, kv tile, group*q tiles) — axis 3 sweeps every
+    # (q head in group, q tile) pair sequentially so the per-kv-head scratch
+    # accumulates the full GQA gradient sum
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda bi, hk, ki, ti: (bi, hk * g + ti // nq, ti % nq, 0)
+    )
+    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda bi, hk, ki, ti: (bi, hk, ki, 0))
+    row_spec = pl.BlockSpec(
+        (1, 1, block_q, 128), lambda bi, hk, ki, ti: (bi, hk * g + ti // nq, ti % nq, 0)
+    )
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, causal=causal, scale=scale,
-                          block_q=block_q, block_k=block_k),
+                          block_q=block_q, block_k=block_k, num_q_tiles=nq),
         out_shape=(
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
-        grid=(b, h, pl.cdiv(t, block_k), pl.cdiv(s, block_q)),
+        grid=(b, hkv, pl.cdiv(t, block_k), g * nq),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec, row_spec],
         out_specs=(
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hk, ki, ti: (bi, hk, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hk, ki, ti: (bi, hk, ki, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -447,7 +464,9 @@ def _flash_bwd(q, k, v, o, m, l, do, *, causal, scale, block_q, block_k,
     )(q, k, v, do, m, l, di)
 
     q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
-    kv_spec2 = pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0))
+    kv_spec2 = pl.BlockSpec(
+        (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)
+    )
     row_spec2 = pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, causal=causal, scale=scale,
@@ -470,7 +489,10 @@ def _flash_bwd(q, k, v, o, m, l, do, *, causal, scale, block_q, block_k,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention_trainable(q, k, v, causal=True, scale=None,
                               block_q=128, block_k=128, interpret=False):
-    """Differentiable flash attention, [B, S, H, D] layout, full-head K/V.
+    """Differentiable flash attention, [B, S, H, D] layout; GQA supported
+    (k/v [B, T, Hkv, D] with Hkv dividing H — kv tiles are shared through
+    BlockSpec index maps, and dK/dV accumulate the per-group gradient sum
+    inside the dKV kernel's scratch sweep).
 
     Padding note: with right-padded batches and causal=True no explicit mask
     is needed — padded keys sit after every valid query and padded queries'

@@ -35,8 +35,8 @@ _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def ring_attention(
     q: jnp.ndarray,  # [B, S_local, H, D] this device's query shard
-    k: jnp.ndarray,  # [B, S_local, H, D] this device's key shard
-    v: jnp.ndarray,  # [B, S_local, H, D]
+    k: jnp.ndarray,  # [B, S_local, Hkv, D] this device's key shard (GQA ok)
+    v: jnp.ndarray,  # [B, S_local, Hkv, D]
     *,
     axis_name: str,
     axis_size: int,
@@ -51,14 +51,22 @@ def ring_attention(
     the next device. Causal masking uses global positions; fully-masked blocks
     cost one wasted matmul (block skipping would unbalance the ring schedule —
     every device must forward every block anyway to keep the rotation going).
+
+    GQA: Hkv may divide H; queries are viewed as [B, S, Hkv, G, D] and each
+    kv head serves its G-query group in one grouped einsum — the rotating
+    K/V blocks stay at Hkv width, so ICI traffic shrinks by G vs expansion.
     """
     b, s_loc, h, d = q.shape
+    hkv = k.shape[2]
+    if h % hkv:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {hkv}")
+    g = h // hkv
     if scale is None:
         scale = d ** -0.5
     idx = jax.lax.axis_index(axis_name)
     q_pos = idx * s_loc + jnp.arange(s_loc)
 
-    qf = q.astype(jnp.float32)
+    qf = q.astype(jnp.float32).reshape(b, s_loc, hkv, g, d)
     m0 = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, h, s_loc), jnp.float32)
     acc0 = jnp.zeros((b, h, s_loc, d), jnp.float32)
@@ -70,8 +78,8 @@ def ring_attention(
         src = (idx - i) % axis_size
         k_pos = src * s_loc + jnp.arange(s_loc)
         s = jnp.einsum(
-            "bqhd,bkhd->bhqk", qf, k_blk.astype(jnp.float32)
-        ) * scale
+            "bqhgd,bkhd->bhgqk", qf, k_blk.astype(jnp.float32)
+        ).reshape(b, h, s_loc, s_loc) * scale
         if causal:
             s = jnp.where(
                 q_pos[None, None, :, None] >= k_pos[None, None, None, :],
@@ -82,8 +90,9 @@ def ring_attention(
         p = jnp.exp(s - m_new[..., None])
         l = l * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32)
-        )
+            "bhgqk,bkhd->bhgqd",
+            p.reshape(b, hkv, g, s_loc, s_loc), v_blk.astype(jnp.float32),
+        ).reshape(b, h, s_loc, d)
         return m_new, l, acc
 
     # step 0 consumes the resident block; each later step rotates FIRST and

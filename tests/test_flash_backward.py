@@ -68,3 +68,41 @@ def test_gradients_multi_tile_causal():
     )(q, k, v)
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("hkv", [1, 2])
+def test_gqa_forward_matches_xla(hkv):
+    """GQA (kv heads < q heads) routed through BlockSpec index maps."""
+    b, h, d, s = 1, 4, 64, 256
+    q = _rand((b, s, h, d), 10)
+    k = _rand((b, s, hkv, d), 11)
+    v = _rand((b, s, hkv, d), 12)
+    ref = xla_attention(q, k, v, causal=True)
+    got = flash_attention_trainable(q, k, v, True, None, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("hkv,causal", [(1, True), (2, True), (2, False)])
+def test_gqa_gradients_match_xla(hkv, causal):
+    """dK/dV must accumulate the per-group gradient sum (the dKV kernel's
+    combined group*q_tile sweep) and dQ must read the shared kv head."""
+    b, h, d, s = 1, 4, 64, 256
+    q = _rand((b, s, h, d), 13) * 0.3
+    k = _rand((b, s, hkv, d), 14) * 0.3
+    v = _rand((b, s, hkv, d), 15)
+
+    def loss_flash(q, k, v):
+        o = flash_attention_trainable(q, k, v, causal, None, 128, 128, True)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = xla_attention(q, k, v, causal=causal)
+        return jnp.sum(o * jnp.cos(o))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3,
+            err_msg=f"d{name} mismatch (hkv={hkv})",
+        )
