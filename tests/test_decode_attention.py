@@ -8,6 +8,8 @@ import jax.numpy as jnp
 
 from teochat_tpu.ops.decode_attention import decode_attention
 
+pytestmark = pytest.mark.slow  # opt-in kernel study, not smoke coverage
+
 
 @pytest.mark.parametrize(
     "b,h,hkv,t,d",

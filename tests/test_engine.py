@@ -18,6 +18,8 @@ from teochat_tpu.models.teochat import TEOChat, init_teochat
 from teochat_tpu.serve.engine import BatchEngine
 from tests.test_eval_e2e import MockTokenizer
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def model():

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from teochat_tpu.ops.attention import xla_attention
 from teochat_tpu.ops.flash_attention import flash_attention_trainable
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
+
 
 def _rand(shape, seed):
     return jnp.asarray(np.random.RandomState(seed).randn(*shape), jnp.float32)

@@ -1,6 +1,7 @@
 """Regression: empty/padded stop keywords must never fire; n_gen counts honestly."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +68,7 @@ def test_make_stop_spec_right_alignment():
     assert spec.keyword_ids[1].tolist() == [7, 8, 9]
 
 
+@pytest.mark.slow  # 15s grad-equivalence check, not smoke
 def test_remat_matches_no_remat_gradients():
     """Gradient checkpointing must not change loss or gradients."""
     import jax.numpy as jnp

@@ -7,6 +7,8 @@ import sys
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
+
 
 def test_dryrun_multichip_8():
     if len(jax.devices()) < 8:

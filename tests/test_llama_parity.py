@@ -9,12 +9,15 @@ import jax.numpy as jnp
 from teochat_tpu.checkpoint.convert_hf import convert_llama
 from teochat_tpu.config import LlamaConfig
 from teochat_tpu.models.llama import (
+
     KVCache,
     embed_tokens,
     init_cache,
     init_llama,
     llama_forward,
 )
+
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
 
 CFG = LlamaConfig(
     vocab_size=128,

@@ -9,12 +9,15 @@ import jax.numpy as jnp
 from teochat_tpu.config import MptConfig
 from teochat_tpu.models.llama import init_cache
 from teochat_tpu.models.mpt import (
+
     alibi_slopes,
     convert_hf_mpt,
     init_mpt,
     mpt_embed,
     mpt_forward,
 )
+
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
 
 CFG = MptConfig(
     vocab_size=96, d_model=32, n_layers=2, n_heads=4, expansion_ratio=4,

@@ -7,10 +7,13 @@ devices, join via jax.distributed (gloo collectives), form the production
 disjoint batch-stream check (llava_trainer.py:135-148 equivalent).
 """
 
+import pytest
 import os
 import socket
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
 
 
 def _free_port() -> int:

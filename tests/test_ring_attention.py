@@ -13,9 +13,12 @@ from jax.sharding import Mesh
 
 from teochat_tpu.ops.attention import xla_attention
 from teochat_tpu.parallel.ring_attention import (
+
     context_parallel_attention,
     ring_attention,
 )
+
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
 
 
 def _mesh(n=8):

@@ -11,6 +11,8 @@ from teochat_tpu.models.teochat import init_teochat
 from teochat_tpu.parallel.mesh import create_mesh, local_mesh
 from teochat_tpu.parallel.sharding import param_specs, shard_params, spec_for_path
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
+
 
 def test_spec_rules():
     assert spec_for_path("llm/layers/attn/q/kernel") == P(None, "fsdp", "model")

@@ -19,6 +19,8 @@ from teochat_tpu.constants import IMAGE_TOKEN_INDEX
 from teochat_tpu.models import generation as gen_mod
 from teochat_tpu.models.teochat import TEOChat, init_teochat
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def model():

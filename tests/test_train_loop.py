@@ -14,6 +14,8 @@ from teochat_tpu.models.teochat import init_teochat
 from teochat_tpu.train.train import ModelArguments, TrainingArguments, train
 from tests.test_data_pipeline import MockTokenizer, TinyProcessor, _raw_example
 
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 from teochat_tpu.ops.attention import xla_attention
 from teochat_tpu.ops.vit_attention import vit_attention
 
+pytestmark = pytest.mark.slow  # opt-in kernel study, not smoke coverage
+
 
 @pytest.mark.parametrize("b,s,h,d", [(2, 257, 4, 64), (1, 128, 2, 32), (3, 100, 8, 64)])
 def test_vit_attention_matches_xla(b, s, h, d):

@@ -8,11 +8,14 @@ import jax.numpy as jnp
 from teochat_tpu.checkpoint.convert_hf import convert_clip_vision
 from teochat_tpu.config import VisionConfig
 from teochat_tpu.models.vit import (
+
     init_vit,
     resize_position_embedding,
     select_features,
     vit_forward,
 )
+
+pytestmark = pytest.mark.slow  # heavy suite: excluded from the smoke tier
 
 TINY = VisionConfig(
     image_size=28,
