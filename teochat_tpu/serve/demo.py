@@ -7,9 +7,11 @@ import-guarded: `build_demo()` constructs the full Blocks app when gradio is
 installed and raises a clear ImportError otherwise. The dependency-free
 serving path is teochat_tpu/serve/server.py (JSON over HTTP) + serve/chat.py.
 
-Omitted relative to the reference demo (both need egress, unavailable here):
-Planet/Google/USGS map-tile fetch (teochat_demo.py:549-627) and the OpenAI
-moderation hook (already dead code in the reference).
+The reference's map panel (Planet/Google/USGS tiles, teochat_demo.py:549-627)
+is available through serve/maptiles with an injected `tile_fetcher` — offline
+deployments render from canned tiles; only the OpenAI moderation hook is
+omitted (already dead code in the reference). The example gallery
+(teochat_demo.py:822-882) ships as SINGLE_IMAGE_EXAMPLES/TEMPORAL_EXAMPLES.
 """
 
 from __future__ import annotations
@@ -29,14 +31,56 @@ EXAMPLE_PROMPTS = [
     "Major Damage, Destroyed.",
 ]
 
+# The reference demo's example gallery as data (teochat_demo.py:822-882).
+# Paths are relative to an `example_dir` of EO chips shipped with the app;
+# entries are (image, prompt) / (first_image, other_images, prompt).
+SINGLE_IMAGE_EXAMPLES = [
+    ("rqa.png", "What is this? [21, 3, 47, 19]"),
+    ("xBD_loc.png",
+     "Identify the location of the building on the right of the image using "
+     "a bounding box of the form [x_min, y_min, x_max, y_max]."),
+    ("AID_cls.png",
+     "Classify this image as one of: Oil Refinery, Compressor Station, "
+     "Pipeline, Processing Plant, Well Pad."),
+    ("HRBEN_qa.png", "Is there a road next to a body of water?"),
+]
+
+TEMPORAL_EXAMPLES = [
+    ("fMoW_cls_1.png",
+     ["fMoW_cls_2.png", "fMoW_cls_3.png", "fMoW_cls_4.png"],
+     "Classify the sequence of images as one of: flooded road, lake or "
+     "pond, aquaculture, dam, mountain trail."),
+    ("xBD_dis_1.png", ["xBD_dis_2.png"],
+     "What disaster has occurred in the area?"),
+    ("xBD_cls_1.png", ["xBD_cls_2.png"],
+     "Classify the level of damage experienced by the building at location "
+     "[0, 8, 49, 53]."),
+    ("S2Looking_cd_1.png", ["S2Looking_cd_2.png"],
+     "Identify all changed buildings using bounding boxes of the form "
+     "[x_min, y_min, x_max, y_max]."),
+    ("QFabric_rtqa_1.png",
+     ["QFabric_rtqa_2.png", "QFabric_rtqa_3.png", "QFabric_rtqa_4.png",
+      "QFabric_rtqa_5.png"],
+     "In which image was construction finished?"),
+]
+
 
 def build_demo(
     model_path: Optional[str] = None,
     vision_path: Optional[str] = None,
     load_8bit: bool = True,
     chat: Optional[Chat] = None,
+    example_dir: Optional[str] = None,
+    tile_fetcher=None,
+    planet_api_key: Optional[str] = None,
 ):
-    """Construct the Gradio Blocks app. Requires the optional gradio extra."""
+    """Construct the Gradio Blocks app. Requires the optional gradio extra.
+
+    `example_dir` enables the reference's example gallery
+    (SINGLE_IMAGE_EXAMPLES / TEMPORAL_EXAMPLES resolved against it);
+    `tile_fetcher(url) -> np.ndarray` enables the map-view panel
+    (teochat_demo.py:549-627) through serve/maptiles — injected so the demo
+    stays functional offline with canned tiles."""
     try:
         import gradio as gr
     except ImportError as e:
@@ -97,7 +141,70 @@ def build_demo(
                 overlays = gr.Gallery(label="Detections")
                 send = gr.Button("Send")
                 clear = gr.Button("New session")
-        gr.Examples(examples=[[p] for p in EXAMPLE_PROMPTS], inputs=[message])
+        if example_dir is not None:
+            import os
+
+            gr.Examples(
+                examples=[
+                    [[os.path.join(example_dir, img)], prompt]
+                    for img, prompt in SINGLE_IMAGE_EXAMPLES
+                ],
+                inputs=[images, message],
+                label="Single Image Examples",
+            )
+            gr.Examples(
+                examples=[
+                    [[os.path.join(example_dir, f) for f in [first] + rest],
+                     prompt]
+                    for first, rest, prompt in TEMPORAL_EXAMPLES
+                ],
+                inputs=[images, message],
+                label="Temporal Image Examples",
+            )
+        else:
+            gr.Examples(examples=[[p] for p in EXAMPLE_PROMPTS], inputs=[message])
+
+        if tile_fetcher is not None:
+            # map panel (teochat_demo.py:549-627) via serve/maptiles
+            from teochat_tpu.serve.maptiles import (
+                TEMPORAL_BASEMAPS,
+                get_temporal_map_images,
+                render_map_view,
+            )
+
+            with gr.Row():
+                lat = gr.Number(value=0.0, label="lat")
+                lon = gr.Number(value=0.0, label="lon")
+                zoom = gr.Slider(1, 18, value=15, step=1, label="zoom")
+                basemap = gr.Dropdown(
+                    choices=list(TEMPORAL_BASEMAPS) + ["Google Maps"],
+                    value="Google Maps", label="basemap",
+                )
+                map_view = gr.Image(label="map view", type="numpy")
+                map_single = gr.Button("Use map image")
+                map_temporal = gr.Button("Use temporal map sequence")
+
+            def fetch_single(lat_v, lon_v, zoom_v, basemap_v):
+                img = render_map_view(
+                    float(lat_v), float(lon_v), int(zoom_v), basemap_v,
+                    fetcher=tile_fetcher, planet_api_key=planet_api_key,
+                )
+                return img, [img]
+
+            def fetch_temporal(lat_v, lon_v, zoom_v):
+                imgs = get_temporal_map_images(
+                    float(lat_v), float(lon_v), int(zoom_v),
+                    fetcher=tile_fetcher, planet_api_key=planet_api_key,
+                )
+                return imgs[0], imgs
+
+            map_single.click(
+                fetch_single, [lat, lon, zoom, basemap], [map_view, images]
+            )
+            map_temporal.click(
+                fetch_temporal, [lat, lon, zoom], [map_view, images]
+            )
+
         state = gr.State([])
         send.click(
             respond,
