@@ -42,18 +42,51 @@ from teochat_tpu.models import llama as llama_mod
 from teochat_tpu.models import teochat as teochat_mod
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def _prefill_slot(params, cache, cfg, plan, vision_tokens, slot,
-                  temperature, do_sample, rng):
-    """Prefill one request into cache row `slot` and sample its first token.
+# Scheduler state lives ON DEVICE and is donated through every program:
+# per-chunk host->device uploads of the small control arrays (positions,
+# active, temperature, ...) each cost a dispatch round-trip on the TPU
+# tunnel, and round 2 measured ~39 ms of fixed host cost per chunk call.
+# The host only ever downloads the emitted tokens; control flow decisions it
+# owns (stop strings, max_new_tokens) push back via one tiny _deactivate_slot
+# program per request lifetime.
+def _init_engine_state(max_slots: int, max_len: int, rng) -> dict:
+    return {
+        "last_tokens": jnp.zeros((max_slots,), jnp.int32),
+        "positions": jnp.zeros((max_slots,), jnp.int32),
+        "active": jnp.zeros((max_slots,), bool),
+        "temperature": jnp.zeros((max_slots,), jnp.float32),
+        "do_sample": jnp.zeros((max_slots,), bool),
+        # per-slot token history for prompt-lookup drafting (spec mode)
+        "hist": jnp.full((max_slots, max_len), -1, jnp.int32),
+        "hist_len": jnp.zeros((max_slots,), jnp.int32),
+        "rng": rng,
+    }
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _deactivate_slot(state, slot):
+    """Host-decided request completion (stop string / max_new_tokens)."""
+    return {
+        **state,
+        "active": state["active"].at[slot].set(False),
+        "temperature": state["temperature"].at[slot].set(0.0),
+        "do_sample": state["do_sample"].at[slot].set(False),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
+def _prefill_slot(params, cache, state, cfg, plan, vision_tokens, slot,
+                  temperature, do_sample, hist_row, hist_n):
+    """Prefill one request into cache row `slot`, sample its first token, and
+    activate the slot in the device-resident scheduler state.
 
     ONE program covers token embedding + vision fusion + decoder prefill +
-    sampling (each separate dispatch costs ~2-5 ms through the TPU tunnel,
-    paid per admission). Returns (first sampled token [1], cache). The dus
-    write touches only rows [slot, slot+1); other rows' K/V are untouched.
-    Right-padded prompts: causal attention over the fresh K/V keeps pad keys
-    invisible to valid queries; garbage pad outputs are discarded by
-    last_index.
+    sampling + every per-slot state write (each separate dispatch costs
+    ~2-5 ms through the TPU tunnel, paid per admission). Returns
+    (first sampled token [1], cache, state). The dus write touches only rows
+    [slot, slot+1); other rows' K/V are untouched. Right-padded prompts:
+    causal attention over the fresh K/V keeps pad keys invisible to valid
+    queries; garbage pad outputs are discarded by last_index.
     """
     embeds = teochat_mod.fuse_embeds(params, plan, vision_tokens)
     logits, cache = llama_mod.llama_forward(
@@ -66,8 +99,23 @@ def _prefill_slot(params, cache, cfg, plan, vision_tokens, slot,
         last_index=plan.seq_lens - 1,
         cache_row_offset=slot,
     )
-    tok = _sample_rows(logits[:, 0], rng, temperature, do_sample)
-    return tok, cache
+    step_rng, rng = jax.random.split(state["rng"])
+    tok = _sample_rows(logits[:, 0], step_rng, temperature, do_sample)
+    # draft history: prompt ids then the first token (spec mode reads it;
+    # writing it unconditionally costs nothing extra inside this program)
+    hist = state["hist"].at[slot].set(hist_row)
+    hist = hist.at[slot, hist_n].set(tok[0])
+    state = {
+        "last_tokens": state["last_tokens"].at[slot].set(tok[0]),
+        "positions": state["positions"].at[slot].set(plan.seq_lens[0]),
+        "active": state["active"].at[slot].set(True),
+        "temperature": state["temperature"].at[slot].set(temperature[0]),
+        "do_sample": state["do_sample"].at[slot].set(do_sample[0]),
+        "hist": hist,
+        "hist_len": state["hist_len"].at[slot].set(hist_n + 1),
+        "rng": rng,
+    }
+    return tok, cache, state
 
 
 def _sample_rows(logits, rng, temperature, do_sample):
@@ -134,18 +182,20 @@ def _spec_emissions(blk_logits, targets, drafts, greedy_row, temperature,
     return match, jnp.stack(emits, axis=1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk"), donate_argnums=(1,))
-def _decode_chunk(params, cache, cfg, chunk, last_tokens, positions, active,
-                  temperature, do_sample, rng, eos_id, pad_id):
+@partial(jax.jit, static_argnames=("cfg", "chunk", "eos_id", "pad_id"),
+         donate_argnums=(1, 2))
+def _decode_chunk(params, cache, state, cfg, chunk, eos_id, pad_id):
     """Run `chunk` decode steps over all slots; returns (tokens [B, chunk],
-    active', positions', cache).
+    cache, state). All scheduler inputs live in the donated device `state` —
+    the host uploads NOTHING per chunk and downloads only the tokens.
 
     Inactive rows write their K/V to the trash slot (t_max-1) and emit pad_id.
     A row turning EOS inside the chunk goes inactive immediately (its later
     in-chunk steps are wasted but harmless). String-level stopping happens on
     the host between chunks.
     """
-    b = last_tokens.shape[0]
+    temperature, do_sample = state["temperature"], state["do_sample"]
+    b = state["last_tokens"].shape[0]
     t_max = cache.max_len
     trash = t_max - 1
 
@@ -165,16 +215,20 @@ def _decode_chunk(params, cache, cfg, chunk, last_tokens, positions, active,
         act = act & (nxt != eos_id)
         return (nxt, pos, act, cache, rng), nxt
 
-    (tok, positions, active, cache, _), toks = jax.lax.scan(
-        step, (last_tokens, positions, active, cache, rng), None, length=chunk
+    (tok, positions, active, cache, rng), toks = jax.lax.scan(
+        step,
+        (state["last_tokens"], state["positions"], state["active"], cache,
+         state["rng"]),
+        None, length=chunk,
     )
-    return toks.T, active, positions, cache
+    state = {**state, "last_tokens": tok, "positions": positions,
+             "active": active, "rng": rng}
+    return toks.T, cache, state
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk", "spec_k"), donate_argnums=(1,))
-def _decode_chunk_spec(params, cache, cfg, chunk, spec_k, last_tokens, positions,
-                       active, temperature, do_sample, rng, eos_id, pad_id,
-                       hist, hist_len):
+@partial(jax.jit, static_argnames=("cfg", "chunk", "spec_k", "eos_id", "pad_id"),
+         donate_argnums=(1, 2))
+def _decode_chunk_spec(params, cache, state, cfg, chunk, spec_k, eos_id, pad_id):
     """Speculative decode chunk: `chunk` iterations, each verifying `spec_k`
     prompt-lookup drafts in one (spec_k+1)-token forward per row.
 
@@ -183,20 +237,21 @@ def _decode_chunk_spec(params, cache, cfg, chunk, spec_k, last_tokens, positions
     sampling (accept draft d with probability P(d) at the row's temperature,
     residual sample on rejection — distribution-identical to plain sampling,
     see _spec_emissions). Returns (tokens [B, chunk, spec_k+1],
-    counts [B, chunk], active', positions', cache, hist', hist_len').
+    counts [B, chunk], cache, state).
 
-    `hist`/`hist_len`: per-slot token history (prompt text ids then generated)
-    used for bigram draft lookup — engine-owned device state, rewritten by the
-    host on each slot prefill.
+    state["hist"]/["hist_len"]: per-slot token history (prompt text ids then
+    generated) used for bigram draft lookup — device state, rewritten by the
+    slot's prefill program on admission.
     """
     from teochat_tpu.models.generation import _draft_lookup
 
-    b = last_tokens.shape[0]
+    temperature, do_sample = state["temperature"], state["do_sample"]
+    b = state["last_tokens"].shape[0]
     t_max = cache.max_len
     trash = t_max - 1
     k = spec_k
     rows = jnp.arange(b)
-    h_max = hist.shape[1]
+    h_max = state["hist"].shape[1]
 
     def step(carry, _):
         tok, pos, act, cache, rng, hist, hist_len = carry
@@ -251,13 +306,17 @@ def _decode_chunk_spec(params, cache, cfg, chunk, spec_k, last_tokens, positions
         act = act & ~stopped
         return (new_tok, pos, act, cache, rng, hist, hist_len), (toks_out, counts)
 
-    (tok, positions, active, cache, _, hist, hist_len), (toks, counts) = jax.lax.scan(
-        step, (last_tokens, positions, active, cache, rng, hist, hist_len),
-        None, length=chunk,
-    )
+    (tok, positions, active, cache, rng, hist, hist_len), (toks, counts) = \
+        jax.lax.scan(
+            step,
+            (state["last_tokens"], state["positions"], state["active"], cache,
+             state["rng"], state["hist"], state["hist_len"]),
+            None, length=chunk,
+        )
+    state = {**state, "last_tokens": tok, "positions": positions,
+             "active": active, "rng": rng, "hist": hist, "hist_len": hist_len}
     # scan stacks along axis 0: [chunk, B, ...] -> [B, chunk, ...]
-    return (jnp.swapaxes(toks, 0, 1), counts.T, active, positions, cache,
-            hist, hist_len)
+    return jnp.swapaxes(toks, 0, 1), counts.T, cache, state
 
 
 @dataclasses.dataclass
@@ -307,18 +366,14 @@ class BatchEngine:
         self.cache = llama_mod.init_cache(
             self.cfg.llm, max_slots, max_len, dtype=dtype
         )
-        if speculative_k > 0:
-            # per-slot token history for prompt-lookup drafting (device state)
-            self._hist = jnp.full((max_slots, max_len), -1, jnp.int32)
-            self._hist_len = jnp.zeros((max_slots,), jnp.int32)
+        # all numeric scheduler state is device-resident (donated through the
+        # prefill/chunk programs); the host keeps only the request objects
+        self._state = _init_engine_state(max_slots, max_len, jax.random.PRNGKey(0))
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._dead: Optional[str] = None  # fatal scheduler error, if any
         self._slots: List[Optional[_Request]] = [None] * max_slots
-        self._positions = np.zeros((max_slots,), np.int32)
-        self._last_tokens = np.zeros((max_slots,), np.int32)
-        self._temperature = np.zeros((max_slots,), np.float32)
-        self._do_sample = np.zeros((max_slots,), bool)
-        self._rng = jax.random.PRNGKey(0)
+        # admissions whose first token has been dispatched but not yet read
+        self._pending_first: List[tuple] = []
         self._lock = threading.Lock()
         self._stop = False
         self._thread: Optional[threading.Thread] = None
@@ -422,16 +477,27 @@ class BatchEngine:
             if not made_progress and self._stop:
                 return
 
-    # one scheduling iteration: admit new requests, run one decode chunk
+    # One scheduling iteration: admit, dispatch one decode chunk, overlap
+    # further admissions' host work + prefill dispatch with the chunk's device
+    # time, then read results. Dispatches are async — the only blocking reads
+    # are the chunk tokens and pending first tokens at the end.
     def _step_once(self, block: bool = False) -> bool:
         admitted = self._admit(block=block)
-        active_reqs = [r for r in self._slots if r is not None]
-        if not active_reqs:
+        snapshot = list(self._slots)  # the slots THIS chunk decodes
+        if not any(r is not None for r in snapshot):
+            self._resolve_pending_first()
             return admitted
         self.stats["max_concurrent"] = max(
-            self.stats["max_concurrent"], len(active_reqs)
+            self.stats["max_concurrent"],
+            sum(r is not None for r in snapshot),
         )
-        self._run_chunk()
+        chunk_out = self._dispatch_chunk()
+        # overlap: encode/plan/prefill-dispatch for queued requests while the
+        # chunk runs on device (their slots join the NEXT chunk; `snapshot`
+        # keeps this chunk's results off the newly admitted requests)
+        self._admit(block=False)
+        self._resolve_pending_first()
+        self._apply_chunk(snapshot, chunk_out)
         return True
 
     def _admit(self, block: bool) -> bool:
@@ -459,6 +525,9 @@ class BatchEngine:
         return admitted
 
     def _prefill(self, req: _Request, slot: int):
+        """Dispatch one admission's prefill program (async — the first token
+        read is deferred to _resolve_pending_first so admissions overlap the
+        running decode chunk's device time)."""
         model, cfg = self.model, self.cfg
         n_frames = fusion_mod.count_frames([req.input_ids])
         if n_frames:
@@ -480,51 +549,50 @@ class BatchEngine:
             [req.input_ids], tokens_per_frame=model.tokens_per_frame,
             max_length=self.max_len, pad_to=pad_to,
         )
-        self._rng, step_rng = jax.random.split(self._rng)
-        tok, self.cache = _prefill_slot(
-            model.params["llm"], self.cache, cfg.llm, plan,
+        # draft history row: prompt text ids (first token appended in-program)
+        row = np.full((self.max_len,), -1, np.int32)
+        n = min(len(req.input_ids), self.max_len - 1)
+        row[:n] = req.input_ids[:n]
+        tok, self.cache, self._state = _prefill_slot(
+            model.params["llm"], self.cache, self._state, cfg.llm, plan,
             vision_tokens.astype(self.model._dtype),
             jnp.asarray(slot, jnp.int32),
             jnp.asarray([req.gen.temperature], jnp.float32),
             jnp.asarray([req.gen.do_sample], bool),
-            step_rng,
+            jnp.asarray(row), jnp.asarray(n, jnp.int32),
         )
-        tok_i = int(tok[0])
-        self._positions[slot] = int(plan.seq_lens[0])
-        self._last_tokens[slot] = tok_i
-        self._temperature[slot] = req.gen.temperature
-        self._do_sample[slot] = req.gen.do_sample
-        if self.speculative_k > 0:
-            # reset this slot's draft history: prompt text ids + first token
-            row = np.full((self.max_len,), -1, np.int32)
-            n = min(len(req.input_ids), self.max_len - 1)
-            row[:n] = req.input_ids[:n]
-            row[n] = tok_i
-            self._hist = self._hist.at[slot].set(jnp.asarray(row))
-            self._hist_len = self._hist_len.at[slot].set(n + 1)
-        req.tokens.append(tok_i)
-        req.remaining -= 1
-        req._push_stream()
-        self._finish_if_done(req, slot)
+        self._pending_first.append((req, slot, tok))
 
-    def _run_chunk(self):
+    def _resolve_pending_first(self):
+        """Read deferred first tokens (blocks until their prefills finish)."""
+        pending, self._pending_first = self._pending_first, []
+        for req, slot, tok in pending:
+            req.tokens.append(int(tok[0]))
+            req.remaining -= 1
+            req._push_stream()
+            self._finish_if_done(req, slot)
+
+    def _dispatch_chunk(self):
+        """Async-dispatch one decode chunk over the device-resident state."""
         cfg = self.cfg
-        active = np.asarray([
-            self._slots[i] is not None for i in range(self.max_slots)
-        ])
-        self._rng, chunk_rng = jax.random.split(self._rng)
         if self.speculative_k > 0:
-            toks3, counts, act_out, pos_out, self.cache, self._hist, \
-                self._hist_len = _decode_chunk_spec(
-                    self.model.params["llm"], self.cache, cfg.llm, self.chunk,
-                    self.speculative_k,
-                    jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
-                    jnp.asarray(active), jnp.asarray(self._temperature),
-                    jnp.asarray(self._do_sample), chunk_rng,
-                    jnp.asarray(cfg.llm.eos_token_id, jnp.int32),
-                    jnp.asarray(cfg.llm.pad_token_id, jnp.int32),
-                    self._hist, self._hist_len,
-                )
+            toks3, counts, self.cache, self._state = _decode_chunk_spec(
+                self.model.params["llm"], self.cache, self._state, cfg.llm,
+                self.chunk, self.speculative_k,
+                int(cfg.llm.eos_token_id), int(cfg.llm.pad_token_id),
+            )
+            return toks3, counts
+        toks, self.cache, self._state = _decode_chunk(
+            self.model.params["llm"], self.cache, self._state, cfg.llm,
+            self.chunk, int(cfg.llm.eos_token_id), int(cfg.llm.pad_token_id),
+        )
+        return (toks,)
+
+    def _apply_chunk(self, snapshot, chunk_out):
+        """Download chunk tokens and hand them to the snapshot's requests."""
+        cfg = self.cfg
+        if self.speculative_k > 0:
+            toks3, counts = chunk_out
             toks3 = np.asarray(toks3)  # [B, chunk, k+1]
             counts = np.asarray(counts)  # [B, chunk]
             emitting = counts > 0
@@ -539,30 +607,14 @@ class BatchEngine:
                  for t in toks3[b, c, : counts[b, c]]]
                 for b in range(self.max_slots)
             ]
-            last = [
-                (row[-1] if row else self._last_tokens[b])
-                for b, row in enumerate(slot_tokens)
-            ]
-            self._positions = np.array(pos_out)
-            self._last_tokens = np.array(last, np.int32)
         else:
-            toks, act_out, pos_out, self.cache = _decode_chunk(
-                self.model.params["llm"], self.cache, cfg.llm, self.chunk,
-                jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
-                jnp.asarray(active), jnp.asarray(self._temperature),
-                jnp.asarray(self._do_sample), chunk_rng,
-                jnp.asarray(cfg.llm.eos_token_id, jnp.int32),
-                jnp.asarray(cfg.llm.pad_token_id, jnp.int32),
-            )
-            toks = np.asarray(toks)
+            toks = np.asarray(chunk_out[0])
             slot_tokens = [list(map(int, toks[b])) for b in range(self.max_slots)]
-            # np.array (copy): np.asarray of a jax array is READ-ONLY, which
-            # would break the next slot prefill's in-place position update
-            self._positions = np.array(pos_out)
-            self._last_tokens = np.array(toks[:, -1])
         self.stats["chunks"] += 1
-        for slot, req in enumerate(self._slots):
-            if req is None:
+        for slot, req in enumerate(snapshot):
+            if req is None or req.event.is_set():
+                # empty slot, or the request finished at its first token
+                # before this chunk's results landed
                 continue
             for t in slot_tokens[slot]:
                 if req.remaining <= 0:
@@ -589,7 +641,9 @@ class BatchEngine:
         )
         if done:
             self._slots[slot] = None
-            self._temperature[slot] = 0.0
-            self._do_sample[slot] = False
+            # one tiny program per request lifetime pushes the host's stop
+            # decision into the device-resident state (EOS rows are already
+            # inactive device-side; this is idempotent for them)
+            self._state = _deactivate_slot(self._state, jnp.asarray(slot, jnp.int32))
             req._push_stream(final=True)
             req.event.set()
