@@ -90,6 +90,11 @@ def _int4_proj_tiled(
     n_tiles, k2, bn = tiles.shape[-3:]
     n_pad = n_tiles * bn
     n_out = scale.shape[-1]  # true (unpadded) output width
+    if x.shape[-1] != 2 * k2:
+        # quantize-time fan-in padding (_pad_k2): match with zero activations
+        x = jnp.pad(
+            x, [(0, 0)] * (x.ndim - 1) + [(0, 2 * k2 - x.shape[-1])]
+        )
     if jax.default_backend() == "tpu" and tiles.ndim == 4 and layer is not None:
         # layer-stacked path: the kernel block-indexes the layer via scalar
         # prefetch — an XLA dynamic-slice would materialize the whole layer's
@@ -100,10 +105,10 @@ def _int4_proj_tiled(
             return 4 * m_pad * bk2 + 5 * bk2 * bn + 6 * m_pad * bn
 
         cap = int(_os.environ.get("TEOCHAT_INT4_BK2", "8192"))
-        candidates = [k2] + [b for b in (2048, 1024, 512, 256, 128) if k2 % b == 0]
+        candidates = _bk2_candidates(k2)
         bk2 = next(
             (b for b in candidates if b <= cap and vmem(b) <= 8 * 1024 * 1024),
-            128,
+            candidates[-1],
         )
         lead = x.shape[:-1]
         scale_pad = (
@@ -133,11 +138,11 @@ def _int4_proj_tiled(
             return 4 * m_pad * bk2 + 5 * bk2 * bn + 6 * m_pad * bn
 
         cap = int(_os.environ.get("TEOCHAT_INT4_BK2", "8192"))
-        candidates = [k2] + [b for b in (2048, 1024, 512, 256, 128) if k2 % b == 0]
+        candidates = _bk2_candidates(k2)
         bk2 = next(
             (b for b in candidates
              if b <= cap and vmem(b) <= 8 * 1024 * 1024),
-            128,
+            candidates[-1],
         )
         lead = x.shape[:-1]
         scale_pad = (
@@ -235,6 +240,30 @@ import os as _os
 INT4_TILE_BN = int(_os.environ.get("TEOCHAT_INT4_TILE_BN", "256"))
 
 
+def _pad_k2(k2: int) -> int:
+    """Packed fan-in (K/2) padded so large 128-aligned Pallas K blocks exist.
+
+    LLaMA's down projection has K=11008 -> k2=5504 = 43*128 with 43 prime:
+    no 128-aligned block divides it except 128 itself, and 128-wide K blocks
+    measured ~35% slower per byte than 2048+ (scripts/bench_int4_kernel.py
+    block sweep — per-grid-cell overhead dominates). Padding k2 to a multiple
+    of 256 guarantees at least one halving step; the zero rows cost +2.3%
+    bytes on that projection and decode is ~9% faster overall."""
+    if k2 <= 128 or k2 % 256 == 0:
+        return k2
+    return ((k2 + 255) // 256) * 256
+
+
+def _bk2_candidates(k2: int):
+    """Halving sequence of 128-aligned K blocks, largest first."""
+    out = [k2]
+    b = k2
+    while b % 2 == 0 and (b // 2) % 128 == 0:
+        b //= 2
+        out.append(b)
+    return out
+
+
 def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """[in, out] fp -> {'packed_tiles': uint8 [ceil(out/bn), in/2, bn],
     'scale': [out]}.
@@ -255,6 +284,13 @@ def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     n = q.shape[-1]
     if n < INT4_TILE_BN:
         return {"packed": pack_int4(q), "scale": scale}
+    # zero-pad fan-in so the kernel gets large aligned K blocks (the zero
+    # rows contribute nothing: int4_proj pads x's K axis with zeros to match)
+    k2p = _pad_k2(fan_in // 2)
+    if 2 * k2p != fan_in:
+        q = jnp.pad(
+            q, [(0, 0)] * (q.ndim - 2) + [(0, 2 * k2p - fan_in), (0, 0)]
+        )
     if q.ndim == 2:
         tiles = pack_int4_tiled(q, INT4_TILE_BN)
     else:
@@ -371,8 +407,9 @@ def random_int4_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
     def qproj(key, fan_in, fan_out):
         bn = INT4_TILE_BN
         n_tiles = (fan_out + bn - 1) // bn
+        k2 = _pad_k2(fan_in // 2)  # same padded layout real quantize emits
         tiles = jax.random.randint(
-            key, (L, n_tiles, fan_in // 2, bn), 0, 256, jnp.int32
+            key, (L, n_tiles, k2, bn), 0, 256, jnp.int32
         )
         return {
             "packed_tiles": tiles.astype(jnp.uint8),
