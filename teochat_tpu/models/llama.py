@@ -176,13 +176,16 @@ def _attention_layer(
             right_padded
             and jax.default_backend() == "tpu"
             and cfg.head_dim % 128 == 0
-            and s % 128 == 0
+            and s >= 128
         ):
             # right padding + causal => the mask is redundant; use the
-            # differentiable Pallas flash kernel (fwd + custom bwd)
-            from teochat_tpu.ops.flash_attention import flash_attention_trainable
+            # differentiable Pallas flash kernel (fwd + custom bwd). Lengths
+            # off the 128 tile are padded+sliced around the kernel.
+            from teochat_tpu.ops.flash_attention import (
+                flash_attention_trainable_padded,
+            )
 
-            out = flash_attention_trainable(q, k, v, True, None)
+            out = flash_attention_trainable_padded(q, k, v, True, None)
         else:
             # cache-free path: causal self-attention over S (plus padding mask)
             out = dot_product_attention(q, k, v, causal=True, mask=kv_mask)

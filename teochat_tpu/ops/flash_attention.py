@@ -539,3 +539,38 @@ def _fa_bwd(causal, scale, block_q, block_k, interpret, res, g):
 
 
 flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)
+
+
+def flash_attention_trainable_padded(q, k, v, causal=True, scale=None,
+                                     block_q=128, block_k=128,
+                                     interpret=False):
+    """flash_attention_trainable for ANY sequence length (causal only).
+
+    Pads S/T up to the tile size and slices the output back; safe because
+    zero-padded keys sit at positions past every real query, so causal
+    masking hides them (the same argument that makes right-padded batches
+    mask-free), and padded queries' rows are sliced away — their gradients
+    are exactly zero through the slice. Autodiff of the pad/slice wrappers
+    is automatic; the custom-vjp kernel runs on the padded shapes.
+    """
+    if not causal:
+        raise ValueError(
+            "padded flash attention requires causal=True (zero-padded keys "
+            "would be attended under a non-causal mask); use the XLA path"
+        )
+    if scale is None:
+        scale = q.shape[-1] ** -0.5  # pre-pad head_dim (unchanged by padding)
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    sp, tp = -s % block_q, -t % block_k
+    if not (sp or tp):
+        return flash_attention_trainable(
+            q, k, v, causal, scale, block_q, block_k, interpret
+        )
+    qp = jnp.pad(q, ((0, 0), (0, sp), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, tp), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, tp), (0, 0), (0, 0)))
+    out = flash_attention_trainable(
+        qp, kp, vp, causal, scale, block_q, block_k, interpret
+    )
+    return out[:, :s]

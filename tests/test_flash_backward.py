@@ -108,3 +108,45 @@ def test_gqa_gradients_match_xla(hkv, causal):
             np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3,
             err_msg=f"d{name} mismatch (hkv={hkv})",
         )
+
+
+@pytest.mark.parametrize("s", [130, 200, 384])
+def test_padded_any_length_matches_xla(s):
+    """Non-tile-multiple lengths via the pad+slice wrapper: forward and
+    gradients must match XLA exactly (padded keys causally invisible)."""
+    from teochat_tpu.ops.flash_attention import flash_attention_trainable_padded
+
+    b, h, d = 1, 2, 64
+    q = _rand((b, s, h, d), 20) * 0.3
+    k = _rand((b, s, h, d), 21) * 0.3
+    v = _rand((b, s, h, d), 22)
+    ref = xla_attention(q, k, v, causal=True)
+    got = flash_attention_trainable_padded(q, k, v, True, None, 128, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a) * jnp.cos(fn(*a)))
+
+    gf = jax.grad(
+        lambda q, k, v: jnp.sum(
+            flash_attention_trainable_padded(q, k, v, True, None, 128, 128, True) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gx = jax.grad(
+        lambda q, k, v: jnp.sum(xla_attention(q, k, v, causal=True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3,
+            err_msg=f"d{name} mismatch (s={s})",
+        )
+
+
+def test_padded_rejects_noncausal():
+    from teochat_tpu.ops.flash_attention import flash_attention_trainable_padded
+
+    q = _rand((1, 130, 2, 64), 23)
+    with pytest.raises(ValueError, match="causal"):
+        flash_attention_trainable_padded(q, q, q, False, None, 128, 128, True)
