@@ -107,7 +107,7 @@ def _int4_proj_tiled(
         cap = int(_os.environ.get("TEOCHAT_INT4_BK2", "8192"))
         candidates = _bk2_candidates(k2)
         bk2 = next(
-            (b for b in candidates if b <= cap and vmem(b) <= 8 * 1024 * 1024),
+            (b for b in candidates if b <= cap and vmem(b) <= INT4_VMEM_BUDGET),
             candidates[-1],
         )
         lead = x.shape[:-1]
@@ -141,7 +141,7 @@ def _int4_proj_tiled(
         candidates = _bk2_candidates(k2)
         bk2 = next(
             (b for b in candidates
-             if b <= cap and vmem(b) <= 8 * 1024 * 1024),
+             if b <= cap and vmem(b) <= INT4_VMEM_BUDGET),
             candidates[-1],
         )
         lead = x.shape[:-1]
@@ -237,7 +237,13 @@ def random_int8_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
 # true-width — the kernel wrapper pads/slices). Env-tunable for sweeps.
 import os as _os
 
-INT4_TILE_BN = int(_os.environ.get("TEOCHAT_INT4_TILE_BN", "256"))
+# 512 measured fastest on the full bs=1 decode loop (v5e, round 3):
+# 256 -> 148.8, 384 -> 150.1, 512 -> 162.7, 640 -> 147.8, 1024 -> 151.6,
+# 2048 -> 144.9 tok/s.
+INT4_TILE_BN = int(_os.environ.get("TEOCHAT_INT4_TILE_BN", "512"))
+# VMEM working-set budget for block selection; the scoped limit is 16 MB and
+# the estimate errs low, so stay at half by default (env-tunable for sweeps)
+INT4_VMEM_BUDGET = int(_os.environ.get("TEOCHAT_INT4_VMEM", str(8 * 1024 * 1024)))
 
 
 def _pad_k2(k2: int) -> int:
@@ -255,13 +261,11 @@ def _pad_k2(k2: int) -> int:
 
 
 def _bk2_candidates(k2: int):
-    """Halving sequence of 128-aligned K blocks, largest first."""
-    out = [k2]
-    b = k2
-    while b % 2 == 0 and (b // 2) % 128 == 0:
-        b //= 2
-        out.append(b)
-    return out
+    """All 128-aligned K blocks dividing k2, largest first (prefill shapes
+    need small blocks to fit VMEM next to 640-row activations; decode wants
+    the largest)."""
+    m = k2 // 128
+    return [128 * d for d in range(m, 0, -1) if m % d == 0]
 
 
 def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
