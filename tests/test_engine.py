@@ -343,3 +343,51 @@ def test_engine_soak_slot_recycling(model):
         assert engine.stats["requests"] == len(prompts)
     finally:
         engine.shutdown()
+
+
+def test_engine_max_new_tokens_one(model):
+    """A request finishing at its (deferred) first token: the prefill's token
+    must be the only output, and the chunk that may have run concurrently
+    must not leak tokens into the finished request."""
+    gen = GenerationConfig(max_new_tokens=1, temperature=0.0, do_sample=False,
+                           stop_strings=())
+    engine = BatchEngine(model, max_slots=2, max_len=64, chunk=4).start()
+    try:
+        ids, frames = _prompts(model, 1)[0]
+        ref = model.generate([ids], frames, gen)[0]
+        for _ in range(3):  # slot reuse after deferred finishes
+            out = engine.submit(ids, frames, gen)
+            assert len(out) == 1
+            assert out == list(map(int, ref[:1]))
+    finally:
+        engine.shutdown()
+
+
+def test_engine_mixed_lengths_with_single_token_rows(model):
+    """max_new=1 rows admitted alongside long rows while chunks overlap."""
+    engine = BatchEngine(model, max_slots=3, max_len=64, chunk=4).start()
+    try:
+        prompts = _prompts(model, 3)
+        gens = [
+            GenerationConfig(max_new_tokens=n, temperature=0.0,
+                             do_sample=False, stop_strings=())
+            for n in (1, 9, 5)
+        ]
+        refs = [
+            list(map(int, model.generate([p[0]], p[1], g)[0]))
+            for p, g in zip(prompts, gens)
+        ]
+        results = [None] * 3
+
+        def run(i):
+            results[i] = engine.submit(prompts[i][0], prompts[i][1], gens[i])
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(3):
+            assert results[i] == refs[i], f"request {i}"
+    finally:
+        engine.shutdown()
