@@ -83,7 +83,7 @@ def _int4_proj_tiled(
     from teochat_tpu.ops.int4_matmul import (
         int4_matmul_tiled,
         int4_matmul_tiled_stacked,
-        unpack_int4_halves,
+        unpack_int4_any,
     )
 
     tiles, scale = p["packed_tiles"], p["scale"]
@@ -154,7 +154,7 @@ def _int4_proj_tiled(
         return y.reshape(*lead, n_out)
     # reference path: un-tile -> unpack -> matmul
     flat = jnp.moveaxis(tiles, -3, -2).reshape(*tiles.shape[:-3], k2, n_pad)
-    w = unpack_int4_halves(flat, x.dtype)[..., :n_out]
+    w = unpack_int4_any(flat, x.dtype)[..., :n_out]
     y = jnp.einsum("...d,df->...f", x, w, preferred_element_type=jnp.float32)
     return (y * scale.astype(jnp.float32)).astype(x.dtype)
 
@@ -238,8 +238,9 @@ def random_int8_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
 import os as _os
 
 # 512 measured fastest on the full bs=1 decode loop (v5e, round 3):
-# 256 -> 148.8, 384 -> 150.1, 512 -> 162.7, 640 -> 147.8, 1024 -> 151.6,
-# 2048 -> 144.9 tok/s.
+# u8 format: 256 -> 148.8, 384 -> 150.1, 512 -> 162.7, 640 -> 147.8,
+# 1024 -> 151.6, 2048 -> 144.9 tok/s. v3 i8 format: 512 -> 167.3,
+# 1024 (12M VMEM budget) -> 161.6, 2048 -> 156.3.
 INT4_TILE_BN = int(_os.environ.get("TEOCHAT_INT4_TILE_BN", "512"))
 # VMEM working-set budget for block selection; the scoped limit is 16 MB and
 # the estimate errs low, so stay at half by default (env-tunable for sweeps)
@@ -269,15 +270,17 @@ def _bk2_candidates(k2: int):
 
 
 def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """[in, out] fp -> {'packed_tiles': uint8 [ceil(out/bn), in/2, bn],
+    """[in, out] fp -> {'packed_tiles': int8 [ceil(out/bn), in/2, bn],
     'scale': [out]}.
 
-    Split-halves nibble packing in the tile-contiguous layout
-    (ops/int4_matmul.py): each bn-wide column band is a dense HBM region so
-    the kernel's per-tile DMA streams at full rate. Detection is by the
-    'packed_tiles' key; outputs narrower than one tile keep the flat
-    'packed' layout."""
-    from teochat_tpu.ops.int4_matmul import pack_int4, pack_int4_tiled
+    v3 combined-byte packing ((L+8) + 16*H as int8 — ops/int4_matmul.py) in
+    the tile-contiguous layout: each bn-wide column band is a dense HBM region
+    so the kernel's per-tile DMA streams at full rate, and the byte converts
+    to bf16 in one VPU op (measured ~4.5% faster decode than the u8
+    split-nibble format it replaces; kernels still accept uint8 tiles from
+    older artifacts). Detection is by the 'packed_tiles' key; outputs narrower
+    than one tile keep the flat u8 'packed' layout."""
+    from teochat_tpu.ops.int4_matmul import pack_int4, pack_int4_tiled_i8
 
     k32 = jnp.asarray(kernel, jnp.float32)
     fan_in = k32.shape[-2]
@@ -296,17 +299,19 @@ def quantize_kernel_int4(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
             q, [(0, 0)] * (q.ndim - 2) + [(0, 2 * k2p - fan_in), (0, 0)]
         )
     if q.ndim == 2:
-        tiles = pack_int4_tiled(q, INT4_TILE_BN)
+        tiles = pack_int4_tiled_i8(q, INT4_TILE_BN)
     else:
-        tiles = jax.vmap(lambda w: pack_int4_tiled(w, INT4_TILE_BN))(q)
+        tiles = jax.vmap(lambda w: pack_int4_tiled_i8(w, INT4_TILE_BN))(q)
     return {"packed_tiles": tiles, "scale": scale}
 
 
 def unpack_int4(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """uint8 [..., in/2, out] -> [..., in, out] centered int4 values."""
-    from teochat_tpu.ops.int4_matmul import unpack_int4_halves
+    """[..., in/2, out] packed bytes -> [..., in, out] centered int4 values.
 
-    return unpack_int4_halves(packed, dtype)
+    Dispatches on dtype: int8 = v3 combined byte, uint8 = split nibbles."""
+    from teochat_tpu.ops.int4_matmul import unpack_int4_any
+
+    return unpack_int4_any(packed, dtype)
 
 
 def int4_proj(
@@ -413,10 +418,10 @@ def random_int4_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
         n_tiles = (fan_out + bn - 1) // bn
         k2 = _pad_k2(fan_in // 2)  # same padded layout real quantize emits
         tiles = jax.random.randint(
-            key, (L, n_tiles, k2, bn), 0, 256, jnp.int32
+            key, (L, n_tiles, k2, bn), -128, 128, jnp.int32
         )
         return {
-            "packed_tiles": tiles.astype(jnp.uint8),
+            "packed_tiles": tiles.astype(jnp.int8),  # v3 combined-byte format
             "scale": jnp.full((L, fan_out), 0.02 / 7, jnp.float32),
         }
 
@@ -444,8 +449,8 @@ def random_int4_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
                 next(keys),
                 ((cfg.vocab_size + INT4_TILE_BN - 1) // INT4_TILE_BN,
                  d // 2, INT4_TILE_BN),
-                0, 256, jnp.int32,
-            ).astype(jnp.uint8),
+                -128, 128, jnp.int32,
+            ).astype(jnp.int8),
             "scale": jnp.full((cfg.vocab_size,), 0.02 / 7, jnp.float32),
         },
     }
