@@ -110,11 +110,18 @@ class LlamaConfig:
     # cache-free (training / teacher-forced) forwards — attention runs the
     # ppermute ring (parallel/ring_attention.py), everything else shards
     # positionally under GSPMD. Requires right-padded batches (causal-only
-    # masking), S divisible by the axis size, and full-head attention
-    # (num_kv_heads == num_heads — the ring kernel has no GQA grouping yet);
+    # masking) and S divisible by the axis size (GQA grouping supported);
     # misconfiguration raises at trace time. None = off (parity needs
     # <=4.4k tokens; this is the beyond-reference long-context lever).
     sequence_axis: Optional[str] = None
+    # Decode-time sequence sharding: name of a mesh axis to shard the KV
+    # cache's TIME dimension over (parallel/sharded_cache.py). Cached
+    # attention reads become per-shard online-softmax partials combined with
+    # pmax/psum (O(B*H*D) ICI bytes per step, independent of context length);
+    # cache writes stay GSPMD scatters. Cache length must divide the axis
+    # size. None = off — the single-device cached path. Orthogonal to
+    # `sequence_axis` (which covers cache-FREE forwards).
+    cache_sequence_axis: Optional[str] = None
 
     @property
     def head_dim(self) -> int:

@@ -41,7 +41,19 @@ class KVCache:
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    k = jnp.zeros(shape, dtype)
+    v = jnp.zeros(shape, dtype)
+    if cfg.cache_sequence_axis is not None:
+        # pin the TIME axis onto the mesh so decode reads stay shard-local
+        # (parallel/sharded_cache.py); writes are GSPMD scatters
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is not None and cfg.cache_sequence_axis in mesh.shape:
+            spec = jax.sharding.PartitionSpec(
+                None, None, cfg.cache_sequence_axis, None, None
+            )
+            k = jax.lax.with_sharding_constraint(k, spec)
+            v = jax.lax.with_sharding_constraint(v, spec)
+    return KVCache(k=k, v=v)
 
 
 def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -235,14 +247,27 @@ def _attention_layer(
             # roofline); only the scatter above writes.
             kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
             vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
-            t_max = kl.shape[1]
-            slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, t_max), 2)
-            mask = slot_ids <= q_slots[:, :, None]
-            if kv_mask is not None:
-                mask = mask & kv_mask[:, None, :]
-            out = dot_product_attention(
-                q, kl.astype(q.dtype), vl.astype(q.dtype), mask=mask
-            )
+            if cfg.cache_sequence_axis is not None:
+                # Time-sharded cache (parallel/sharded_cache.py): each device
+                # attends over its resident T/n slots; partials combine with
+                # pmax/psum. Same visibility rule as the masked path below.
+                from teochat_tpu.parallel.sharded_cache import (
+                    sharded_cache_attention_step,
+                )
+
+                out = sharded_cache_attention_step(
+                    q, kl.astype(q.dtype), vl.astype(q.dtype), q_slots,
+                    kv_mask, axis_name=cfg.cache_sequence_axis,
+                )
+            else:
+                t_max = kl.shape[1]
+                slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, t_max), 2)
+                mask = slot_ids <= q_slots[:, :, None]
+                if kv_mask is not None:
+                    mask = mask & kv_mask[:, None, :]
+                out = dot_product_attention(
+                    q, kl.astype(q.dtype), vl.astype(q.dtype), mask=mask
+                )
     out = out.reshape(b, s, h * hd)
     return _proj(out, lp["out"], act_quant, layer), k_cache, v_cache
 
