@@ -3,14 +3,18 @@
 Rebuilds: scripts/merge_lora_weights.py:11-31 (merge LoRA into a standalone
 checkpoint), videollava/model/make_delta.py:13-41 / apply_delta.py:13-37
 (base<->target weight deltas), model/consolidate.py:14-19 + model/utils.py:4-22
-(checkpoint consolidation + config auto-upgrade). Hub upload
-(scripts/upload_weights.py) is intentionally a stub: this deployment has no
-egress; `upload_weights` raises with instructions.
+(checkpoint consolidation + config auto-upgrade), and hub upload
+(scripts/upload_weights.py:15-28) with an INJECTED transport: artifact
+collection (the checkpoint tree + tokenizer files, repo-relative names) is
+pure logic tested offline; the network client is a swappable callable whose
+default uses huggingface_hub when available (this image has no egress, so the
+default only ever runs elsewhere).
 """
 
 from __future__ import annotations
 
-from typing import Dict
+import os
+from typing import Callable, Dict, Optional
 
 import jax
 import numpy as np
@@ -50,9 +54,75 @@ def consolidate_ckpt(src_path: str, dst_path: str) -> str:
     return save_checkpoint(dst_path, params, cfg)
 
 
-def upload_weights(*args, **kwargs):
-    raise RuntimeError(
-        "hub upload is unavailable in this egress-free deployment; copy the "
-        "Orbax checkpoint directory and push from a networked machine "
-        "(reference scripts/upload_weights.py equivalent)"
-    )
+_TOKENIZER_FILES = (
+    # what AutoTokenizer.push_to_hub ships for a LLaMA/sentencepiece tokenizer
+    "tokenizer.model",
+    "tokenizer.json",
+    "tokenizer_config.json",
+    "special_tokens_map.json",
+    "added_tokens.json",
+)
+
+
+def collect_upload_files(
+    model_path: str, tokenizer_path: Optional[str] = None
+) -> Dict[str, str]:
+    """Map repo-relative names -> local paths for everything a hub push ships.
+
+    Mirrors the reference upload (scripts/upload_weights.py:15-28): the model
+    artifacts (here: the whole Orbax checkpoint tree + config) plus the
+    tokenizer files from `tokenizer_path` (the reference's --model-base).
+    Tokenizer files that don't exist are skipped (a fast tokenizer has no
+    tokenizer.model, a slow one no tokenizer.json)."""
+    if not os.path.isdir(model_path):
+        raise FileNotFoundError(f"checkpoint directory not found: {model_path}")
+    files: Dict[str, str] = {}
+    for root, _, names in os.walk(model_path):
+        for name in names:
+            local = os.path.join(root, name)
+            rel = os.path.relpath(local, model_path)
+            files[rel.replace(os.sep, "/")] = local
+    if not files:
+        raise FileNotFoundError(f"checkpoint directory is empty: {model_path}")
+    if tokenizer_path is not None:
+        for name in _TOKENIZER_FILES:
+            local = os.path.join(tokenizer_path, name)
+            if os.path.exists(local):
+                files[name] = local
+    return files
+
+
+def _hf_hub_transport(repo_id: str, files: Dict[str, str], private: bool) -> None:
+    """Default transport: huggingface_hub (only usable off this machine)."""
+    try:
+        from huggingface_hub import HfApi
+    except ImportError as e:  # pragma: no cover - hf_hub ships with transformers
+        raise RuntimeError(
+            "hub upload needs huggingface_hub (and network egress); copy the "
+            "checkpoint directory and push from a networked machine, or pass "
+            "transport="
+        ) from e
+    api = HfApi()
+    api.create_repo(repo_id, private=private, exist_ok=True)
+    for rel, local in sorted(files.items()):
+        api.upload_file(path_or_fileobj=local, path_in_repo=rel, repo_id=repo_id)
+
+
+def upload_weights(
+    model_path: str,
+    repo_id: str,
+    *,
+    tokenizer_path: Optional[str] = None,
+    private: bool = False,
+    transport: Optional[Callable[[str, Dict[str, str], bool], None]] = None,
+) -> Dict[str, str]:
+    """Push a checkpoint (+ tokenizer) to a model hub repo.
+
+    Reference scripts/upload_weights.py:15-28 loads the model and calls
+    push_to_hub for model and tokenizer; here the artifact set is collected
+    as files and handed to `transport(repo_id, files, private)` — inject a
+    fake to test, or any non-HF registry client in production. Returns the
+    uploaded file map."""
+    files = collect_upload_files(model_path, tokenizer_path)
+    (transport or _hf_hub_transport)(repo_id, files, private)
+    return files

@@ -61,6 +61,42 @@ def test_consolidate(tmp_path):
     )
 
 
-def test_upload_stub():
-    with pytest.raises(RuntimeError, match="egress-free"):
-        upload_weights()
+def test_upload_weights_injected_transport(tmp_path):
+    """Artifact collection is real; the network client is injected."""
+    cfg = tiny_test_config()
+    params = init_teochat(jax.random.PRNGKey(0), cfg)
+    ckpt = save_checkpoint(str(tmp_path / "ckpt"), params, cfg)
+    tok_dir = tmp_path / "tok"
+    tok_dir.mkdir()
+    (tok_dir / "tokenizer_config.json").write_text("{}")
+    (tok_dir / "special_tokens_map.json").write_text("{}")
+
+    calls = []
+
+    def fake_transport(repo_id, files, private):
+        calls.append((repo_id, dict(files), private))
+
+    files = upload_weights(
+        ckpt, "someone/teochat-tpu", tokenizer_path=str(tok_dir),
+        private=True, transport=fake_transport,
+    )
+    assert calls and calls[0][0] == "someone/teochat-tpu" and calls[0][2]
+    # every file under the checkpoint tree ships, with repo-relative names
+    import os
+
+    expected = set()
+    for root, _, names in os.walk(ckpt):
+        for n in names:
+            expected.add(
+                os.path.relpath(os.path.join(root, n), ckpt).replace(os.sep, "/")
+            )
+    assert expected and expected <= set(files)
+    assert all(os.sep not in rel or os.sep == "/" for rel in files)
+    # tokenizer files present; the nonexistent ones skipped
+    assert "tokenizer_config.json" in files
+    assert "tokenizer.model" not in files
+
+
+def test_upload_weights_missing_dir(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        upload_weights(str(tmp_path / "nope"), "r/r", transport=lambda *a: None)
