@@ -724,7 +724,14 @@ def main():
     t_start = time.perf_counter()
     sidecar = _load_sidecar()
     timings = dict(sidecar.get("timings", {}))
-    results = {}
+    prev_ok = {
+        n for n, s in sidecar.get("statuses", {}).items()
+        if s in ("ok", "cached")
+    }
+    # seed from the previous run so a skipped/failed phase reports its last
+    # measured value (status says "cached") instead of a hard 0.0 — the
+    # driver artifact stays meaningful even when the budget cuts phases
+    results = dict(sidecar.get("results", {}))
     statuses = {}
     emitted = [False]
 
@@ -732,7 +739,7 @@ def main():
         if not emitted[0]:
             emitted[0] = True
             for name in PHASE_ORDER:
-                statuses.setdefault(name, "skipped")
+                statuses.setdefault(name, "cached" if name in prev_ok else "skipped")
             _emit_final(results, statuses)
 
     def on_term(signum, frame):
@@ -754,7 +761,7 @@ def main():
         est = 1.2 * timings.get(name, PHASE_EST_S.get(name, 120))
         if only is None and remaining < est:
             _log(f"skipping phase {name}: {remaining:.0f}s left < est {est:.0f}s")
-            statuses[name] = "skipped"
+            statuses[name] = "cached" if name in prev_ok else "skipped"
             continue
         _log(f"running phase {name} ({remaining:.0f}s budget left)")
         r, elapsed = _run_phase_subprocess(name, budget_s=remaining)
@@ -763,10 +770,12 @@ def main():
             statuses[name] = "ok"
             timings[name] = round(elapsed, 1)
         else:
-            statuses[name] = "failed"
+            statuses[name] = "failed_cached" if name in prev_ok else "failed"
         _log(f"phase {name} [{elapsed:.0f}s]: {r}")
+        # merge statuses so phases not reached THIS run keep their prior
+        # ok/cached standing in the sidecar (their cached results live on)
         _save_sidecar({"timings": timings, "results": results,
-                       "statuses": statuses})
+                       "statuses": {**sidecar.get("statuses", {}), **statuses}})
 
     emit_once()
 
