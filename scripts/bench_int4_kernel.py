@@ -193,6 +193,67 @@ def v3_matmul(x, packed_i8, scale, *, n_out, block_k2=512, mask_dtype=jnp.int32)
     return y[:m, :n_out]
 
 
+# ------------------------------------------ v4: Mosaic-native jnp.int4 storage
+def pack_int4_native(w_q, bn=TILE_BN):
+    """[K, N] int4 values -> [n_tiles, K, bn] jnp.int4 (N zero-padded).
+
+    No nibble packing at all: the array dtype IS 4-bit; Mosaic stores two
+    values per byte and the astype(bf16) in-kernel is the whole unpack."""
+    w = np.asarray(w_q, np.int8)
+    k, n = w.shape
+    n_pad = ((n + bn - 1) // bn) * bn
+    if n_pad != n:
+        w = np.pad(w, ((0, 0), (0, n_pad - n)))
+    tiles = jnp.asarray(w.reshape(k, n_pad // bn, bn).transpose(1, 0, 2))
+    return tiles.astype(jnp.int4)
+
+
+def _v4_kernel(x_ref, packed_ref, scale_ref, o_ref, acc_ref, *, n_k):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = packed_ref[0].astype(x_ref.dtype)  # [bk, bn] one convert, no bit ops
+    acc_ref[...] += jax.lax.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == n_k - 1)
+    def _store():
+        o_ref[0] = (acc_ref[...] * scale_ref[0, 0].astype(jnp.float32)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "block_k"))
+def v4_matmul(x, packed_i4, scale, *, n_out, block_k=1024):
+    m, k = x.shape
+    n_tiles, k_w, bn = packed_i4.shape
+    assert k == k_w
+    m_pad = max(8, ((m + 7) // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    bk = min(block_k, k)
+    n_k = pl.cdiv(k, bk)
+    out = pl.pallas_call(
+        functools.partial(_v4_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, m_pad, bn), x.dtype),
+        grid=(n_tiles, n_k),
+        in_specs=[
+            pl.BlockSpec((m_pad, bk), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((1, bk, bn), lambda ni, ki: (ni, ki, 0)),
+            pl.BlockSpec((1, 1, bn), lambda ni, ki: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, bn), lambda ni, ki: (ni, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(x, packed_i4, scale.reshape(n_tiles, 1, bn))
+    y = out.transpose(1, 0, 2).reshape(m_pad, n_tiles * bn)
+    return y[:m, :n_out]
+
+
 # ------------------------------------------------ vpu probe: unpack, no dots
 def _vpu_kernel(packed_ref, o_ref, acc_ref, *, n_k):
     k_idx = pl.program_id(1)
@@ -379,6 +440,14 @@ def main():
         ("v3_i8_m16", lambda xx: v3_matmul(
             xx, tiles_i8, scale_pad, n_out=N, mask_dtype=jnp.int16)),
     ]
+    try:  # Mosaic-native int4 (r2 probe hit a toolchain RecursionError)
+        tiles_i4 = pack_int4_native(w_q)
+        v4_matmul(x, tiles_i4, scale_pad, n_out=N).block_until_ready()
+        variants.append(
+            ("v4_native", lambda xx: v4_matmul(xx, tiles_i4, scale_pad, n_out=N))
+        )
+    except Exception as e:
+        print(f"v4_native unavailable: {type(e).__name__}: {str(e)[:160]}")
     for name, fn in variants:
         got = fn(x).astype(jnp.float32)
         err = jnp.max(jnp.abs(got - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9)

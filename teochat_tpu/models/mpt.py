@@ -75,7 +75,7 @@ def _mpt_layer(
     x: jnp.ndarray,
     lp: Params,
     cfg: MptConfig,
-    bias: jnp.ndarray,
+    bias: jnp.ndarray,  # [H, T] key-position ALiBi table
     mask: Optional[jnp.ndarray],
     k_cache: Optional[jnp.ndarray],
     v_cache: Optional[jnp.ndarray],
@@ -98,9 +98,27 @@ def _mpt_layer(
     v = qkv[..., d + n_kv * hd :].reshape(b, s, n_kv, hd)
 
     if k_cache is None:
-        out = dot_product_attention(
-            q, k, v, causal=True, mask=mask, bias=bias[:, :, :, :s]
-        )
+        if (
+            mask is None
+            and jax.default_backend() == "tpu"
+            and hd % 128 == 0
+            and s >= 128
+        ):
+            # differentiable Pallas flash path with the ALiBi table riding
+            # in-kernel (the reference pairs MPT with its Triton flash kernel's
+            # bias support, flash_attn_triton.py:60-90 / 306-399); keeps
+            # mpt_forward trainable on TPU, mirroring llama.py:187-200
+            from teochat_tpu.ops.flash_attention import (
+                flash_attention_trainable_padded,
+            )
+
+            out = flash_attention_trainable_padded(
+                q, k, v, True, None, bias_k=bias[:, :s]
+            )
+        else:
+            out = dot_product_attention(
+                q, k, v, causal=True, mask=mask, bias_k=bias[:, :s], impl="xla"
+            )
     else:
         if s > 1:
             # contiguous right-padded prefill: one dus (see llama.py note)
@@ -111,7 +129,7 @@ def _mpt_layer(
                 v_cache, v.astype(v_cache.dtype)[None], (layer, 0, 0, 0, 0)
             )
             out = dot_product_attention(
-                q, k, v, causal=True, bias=bias[:, :, :, :s]
+                q, k, v, causal=True, bias_k=bias[:, :s]
             )
         else:
             batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
@@ -130,7 +148,7 @@ def _mpt_layer(
                 dec_mask = dec_mask & mask[:, None, :]
             out = dot_product_attention(
                 q, kl.astype(q.dtype), vl.astype(q.dtype),
-                mask=dec_mask, bias=bias[:, :, :, :t_max],
+                mask=dec_mask, bias_k=bias[:, :t_max],
             )
     x = x + _dense(out.reshape(b, s, d), lp["out_proj"])
 
@@ -161,7 +179,9 @@ def mpt_forward(
     x = inputs_embeds
     b, s, d = x.shape
     t_bias = cache.max_len if cache is not None else s
-    bias = alibi_bias(cfg.n_heads, t_bias, cfg.alibi_bias_max)
+    # key-separable [H, T] form: eligible for the flash path's per-tile add
+    # (ops/attention.py bias_k); the XLA path broadcasts it to [1, H, 1, T]
+    bias = alibi_bias(cfg.n_heads, t_bias, cfg.alibi_bias_max)[0, :, 0, :]
     q_slots = write_slots
 
     if cache is None:

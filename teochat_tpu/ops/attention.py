@@ -82,6 +82,7 @@ def dot_product_attention(
     v: jnp.ndarray,
     *,
     bias: Optional[jnp.ndarray] = None,
+    bias_k: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     causal: bool = False,
     scale: Optional[float] = None,
@@ -92,7 +93,13 @@ def dot_product_attention(
     "auto" uses the Pallas flash kernel on TPU for causal self-attention over
     sequences long enough to tile (prefill), else the XLA path (ViT's 257
     tokens, single-token decode, CPU tests).
+
+    `bias_k` is a key-separable additive bias table [H, T] (ALiBi, MPT
+    backend) — unlike the general `bias` it stays eligible for the flash
+    path; on the XLA path it broadcasts to [1, H, 1, T].
     """
+    if bias is not None and bias_k is not None:
+        raise ValueError("pass either bias or bias_k, not both")
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         s, t = q.shape[1], k.shape[1]
@@ -109,5 +116,9 @@ def dot_product_attention(
     if impl == "flash":
         from teochat_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, mask=mask, causal=causal, scale=scale)
+        return flash_attention(
+            q, k, v, mask=mask, bias_k=bias_k, causal=causal, scale=scale
+        )
+    if bias_k is not None:
+        bias = bias_k[None, :, None, :]
     return xla_attention(q, k, v, bias=bias, mask=mask, causal=causal, scale=scale)

@@ -30,20 +30,25 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _flash_kernel(
-    q_ref,  # [1, 1, block_q, head_dim]
-    k_ref,  # [1, 1, block_k, head_dim]
-    v_ref,  # [1, 1, block_k, head_dim]
-    o_ref,  # [1, 1, block_q, head_dim]
-    m_scratch,  # [block_q, STATS_LANES] fp32
-    l_scratch,  # [block_q, STATS_LANES] fp32
-    acc_scratch,  # [block_q, head_dim] fp32
-    *,
+    *refs,
     causal: bool,
     scale: float,
     block_q: int,
     block_k: int,
     kv_len: int,
+    has_bias_k: bool = False,
 ):
+    # refs: q, k, v, [bias_k], o, m_scratch, l_scratch, acc_scratch.
+    # bias_k is an OPTIONAL [1, block_k] fp32 tile of per-key additive bias
+    # (ALiBi for the MPT backend — reference flash_attn_triton.py supports a
+    # full bias tensor; the MPT form is key-separable so a [H, T] table
+    # suffices and costs one broadcast add per tile).
+    if has_bias_k:
+        q_ref, k_ref, v_ref, bias_ref, o_ref = refs[:5]
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs[:4]
+        bias_ref = None
+    m_scratch, l_scratch, acc_scratch = refs[-3:]
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
@@ -68,6 +73,8 @@ def _flash_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [block_q, block_k]
         s = s * scale
+        if bias_ref is not None:
+            s = s + bias_ref[...].astype(jnp.float32)  # [1, block_k] broadcast
 
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -107,6 +114,7 @@ def _flash_bhsd(
     q: jnp.ndarray,  # [B, H, S, D]
     k: jnp.ndarray,  # [B, Hkv, T, D]; GQA via index map (no expansion)
     v: jnp.ndarray,
+    bias_k: Optional[jnp.ndarray] = None,  # [H, T] per-key additive bias
     *,
     causal: bool,
     scale: float,
@@ -129,22 +137,30 @@ def _flash_bhsd(
         block_q=block_q,
         block_k=block_k,
         kv_len=t,
+        has_bias_k=bias_k is not None,
     )
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)
+        ),
+    ]
+    args = [q, k, v]
+    if bias_k is not None:
+        in_specs.append(
+            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (hi, ki))
+        )
+        args.append(bias_k.astype(jnp.float32))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
         ),
@@ -163,7 +179,7 @@ def _flash_bhsd(
             transcendentals=b * h * s * t,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
 
 
 def flash_attention(
@@ -172,17 +188,23 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     mask: Optional[jnp.ndarray] = None,
+    bias_k: Optional[jnp.ndarray] = None,  # [H, T] per-key additive bias
     causal: bool = True,
     scale: Optional[float] = None,
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[B,S,H,D] layout wrapper. GQA kv heads are expanded to full heads.
+    """[B,S,H,D] layout wrapper; GQA kv heads shared via BlockSpec index maps.
 
-    `mask` is not supported in-kernel; right-padded causal prefill needs none
-    (padded keys sit after every valid query, so causality masks them — see
-    generation.generate_tokens). Callers with other masks use the XLA path.
+    `bias_k` is a key-separable additive bias table (ALiBi for the MPT
+    backend, models/mpt.py — the reference's Triton kernel takes a full
+    [B,H,S,T] bias, flash_attn_triton.py:60-90; ALiBi is row-shift invariant
+    so the key-position form suffices and costs one [1, block_k] add per
+    tile). `mask` is not supported in-kernel; right-padded causal prefill
+    needs none (padded keys sit after every valid query, so causality masks
+    them — see generation.generate_tokens). Callers with other masks use the
+    XLA path.
     """
     if mask is not None:
         raise NotImplementedError("flash_attention: use the XLA path for masked attention")
@@ -192,6 +214,8 @@ def flash_attention(
         scale = d ** -0.5
     if h % k.shape[2]:
         raise ValueError(f"q heads {h} not a multiple of kv heads {k.shape[2]}")
+    if bias_k is not None and bias_k.shape != (h, t):
+        raise ValueError(f"bias_k shape {bias_k.shape} != (H={h}, T={t})")
 
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -199,7 +223,7 @@ def flash_attention(
     bq = min(block_q, s)
     bk = min(block_k, t)
     out = _flash_bhsd(
-        qt, kt, vt, causal=causal, scale=scale, block_q=bq, block_k=bk,
+        qt, kt, vt, bias_k, causal=causal, scale=scale, block_q=bq, block_k=bk,
         interpret=interpret,
     )
     return out.transpose(0, 2, 1, 3)
@@ -216,9 +240,15 @@ def flash_attention(
 # di = rowsum(o * do) is precomputed once outside both kernels.
 
 
-def _flash_fwd_res_kernel(q_ref, k_ref, v_ref, o_ref, m_out, l_out,
-                          m_scratch, l_scratch, acc_scratch,
-                          *, causal, scale, block_q, block_k):
+def _flash_fwd_res_kernel(*refs, causal, scale, block_q, block_k,
+                          has_bias_k=False):
+    # refs: q, k, v, [bias_k], o, m_out, l_out + scratches m, l, acc
+    if has_bias_k:
+        q_ref, k_ref, v_ref, bias_ref, o_ref, m_out, l_out = refs[:7]
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_out, l_out = refs[:6]
+        bias_ref = None
+    m_scratch, l_scratch, acc_scratch = refs[-3:]
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
@@ -239,6 +269,8 @@ def _flash_fwd_res_kernel(q_ref, k_ref, v_ref, o_ref, m_out, l_out,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[...].astype(jnp.float32)  # [1, block_k] broadcast
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -267,16 +299,25 @@ def _flash_fwd_res_kernel(q_ref, k_ref, v_ref, o_ref, m_out, l_out,
         l_out[0, 0] = l_scratch[...]
 
 
-def _flash_fwd_with_residuals(q, k, v, *, causal, scale, block_q, block_k,
-                              interpret=False):
+def _flash_fwd_with_residuals(q, k, v, bias_k=None, *, causal, scale,
+                              block_q, block_k, interpret=False):
     b, h, s, d = q.shape
     t = k.shape[2]
     g = h // k.shape[1]  # GQA group size (k/v stay [B, Hkv, T, D])
     grid = (b, h, pl.cdiv(s, block_q), pl.cdiv(t, block_k))
     kernel = functools.partial(
         _flash_fwd_res_kernel, causal=causal, scale=scale,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, has_bias_k=bias_k is not None,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)),
+    ]
+    args = [q, k, v]
+    if bias_k is not None:
+        in_specs.append(pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (hi, ki)))
+        args.append(bias_k.astype(jnp.float32))
     o, m, l = pl.pallas_call(
         kernel,
         out_shape=(
@@ -285,11 +326,7 @@ def _flash_fwd_with_residuals(q, k, v, *, causal, scale, block_q, block_k,
             jax.ShapeDtypeStruct((b, h, s, 128), jnp.float32),
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -304,17 +341,25 @@ def _flash_fwd_with_residuals(q, k, v, *, causal, scale, block_q, block_k,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
     return o, m, l
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
-                    dk_ref, dv_ref, dk_scratch, dv_scratch,
-                    *, causal, scale, block_q, block_k, num_q_tiles):
+def _bwd_dkv_kernel(*refs, causal, scale, block_q, block_k, num_q_tiles,
+                    has_bias_k=False):
+    # refs: q, k, v, do, m, l, di, [bias_k], dk, dv + scratches dk, dv.
     # grid axis 3 enumerates (group_member, q_tile) pairs: t = g_i*NQ + q_i.
     # dk/dv for one kv head accumulate over ALL q heads in its group — the
     # GQA gradient sum happens in the same VMEM scratch that already sums
     # over q tiles, so no post-kernel reduction pass is needed.
+    if has_bias_k:
+        (q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref, bias_ref,
+         dk_ref, dv_ref) = refs[:10]
+    else:
+        (q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
+         dk_ref, dv_ref) = refs[:9]
+        bias_ref = None
+    dk_scratch, dv_scratch = refs[-2:]
     kv_idx = pl.program_id(2)
     t_idx = pl.program_id(3)
     total = pl.num_programs(3)
@@ -342,6 +387,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[...].astype(jnp.float32)
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -371,9 +418,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
         dv_ref[0, 0] = dv_scratch[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
-                   dq_ref, dq_scratch,
-                   *, causal, scale, block_q, block_k):
+def _bwd_dq_kernel(*refs, causal, scale, block_q, block_k, has_bias_k=False):
+    # refs: q, k, v, do, m, l, di, [bias_k], dq + scratch dq
+    if has_bias_k:
+        (q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref, bias_ref,
+         dq_ref) = refs[:9]
+    else:
+        q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref, dq_ref = refs[:8]
+        bias_ref = None
+    dq_scratch = refs[-1]
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     num_kv = pl.num_programs(3)
@@ -398,6 +451,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            s = s + bias_ref[...].astype(jnp.float32)
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -419,8 +474,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
         dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, m, l, do, *, causal, scale, block_q, block_k,
-               interpret=False):
+def _flash_bwd(q, k, v, o, m, l, do, bias_k=None, *, causal, scale,
+               block_q, block_k, interpret=False):
     b, h, s, d = q.shape
     t = k.shape[2]
     hkv = k.shape[1]
@@ -428,6 +483,9 @@ def _flash_bwd(q, k, v, o, m, l, do, *, causal, scale, block_q, block_k,
     nq = pl.cdiv(s, block_q)
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,H,S]
     di = jnp.broadcast_to(di[..., None], di.shape + (128,))
+    has_bias = bias_k is not None
+    if has_bias:
+        bias_k = bias_k.astype(jnp.float32)
 
     # dKV grid: (b, KV head, kv tile, group*q tiles) — axis 3 sweeps every
     # (q head in group, q tile) pair sequentially so the per-kv-head scratch
@@ -439,16 +497,25 @@ def _flash_bwd(q, k, v, o, m, l, do, *, causal, scale, block_q, block_k,
     row_spec = pl.BlockSpec(
         (1, 1, block_q, 128), lambda bi, hk, ki, ti: (bi, hk * g + ti // nq, ti % nq, 0)
     )
+    dkv_in_specs = [q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec, row_spec]
+    dkv_args = [q, k, v, do, m, l, di]
+    if has_bias:
+        # bias row follows the sweeping q head hi = hk*g + ti//nq; kv tile ki
+        dkv_in_specs.append(
+            pl.BlockSpec((1, block_k), lambda bi, hk, ki, ti: (hk * g + ti // nq, ki))
+        )
+        dkv_args.append(bias_k)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, causal=causal, scale=scale,
-                          block_q=block_q, block_k=block_k, num_q_tiles=nq),
+                          block_q=block_q, block_k=block_k, num_q_tiles=nq,
+                          has_bias_k=has_bias),
         out_shape=(
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
         grid=(b, hkv, pl.cdiv(t, block_k), g * nq),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec, row_spec],
+        in_specs=dkv_in_specs,
         out_specs=(
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hk, ki, ti: (bi, hk, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hk, ki, ti: (bi, hk, ki, 0)),
@@ -461,19 +528,24 @@ def _flash_bwd(q, k, v, o, m, l, do, *, causal, scale, block_q, block_k,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, do, m, l, di)
+    )(*dkv_args)
 
     q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
     kv_spec2 = pl.BlockSpec(
         (1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi // g, ki, 0)
     )
     row_spec2 = pl.BlockSpec((1, 1, block_q, 128), lambda bi, hi, qi, ki: (bi, hi, qi, 0))
+    dq_in_specs = [q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2, row_spec2]
+    dq_args = [q, k, v, do, m, l, di]
+    if has_bias:
+        dq_in_specs.append(pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (hi, ki)))
+        dq_args.append(bias_k)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, causal=causal, scale=scale,
-                          block_q=block_q, block_k=block_k),
+                          block_q=block_q, block_k=block_k, has_bias_k=has_bias),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=(b, h, pl.cdiv(s, block_q), pl.cdiv(t, block_k)),
-        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2, row_spec2],
+        in_specs=dq_in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)
         ),
@@ -482,17 +554,25 @@ def _flash_bwd(q, k, v, o, m, l, do, *, causal, scale, block_q, block_k,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, do, m, l, di)
+    )(*dq_args)
     return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def flash_attention_trainable(q, k, v, causal=True, scale=None,
-                              block_q=128, block_k=128, interpret=False):
+                              block_q=128, block_k=128, interpret=False,
+                              bias_k=None):
     """Differentiable flash attention, [B, S, H, D] layout; GQA supported
     (k/v [B, T, Hkv, D] with Hkv dividing H — kv tiles are shared through
     BlockSpec index maps, and dK/dV accumulate the per-group gradient sum
     inside the dKV kernel's scratch sweep).
+
+    `bias_k` [H, T] is a key-separable additive bias (ALiBi for MPT training,
+    matching the reference Triton kernel's bias support,
+    flash_attn_triton.py:306-399). It is treated as a CONSTANT table: its
+    cotangent is defined as zero — ALiBi slopes are never learned, and the
+    reference kernel likewise produces no dbias. Do NOT route a learned bias
+    through this function.
 
     Padding note: with right-padded batches and causal=True no explicit mask
     is needed — padded keys sit after every valid query and padded queries'
@@ -502,39 +582,41 @@ def flash_attention_trainable(q, k, v, causal=True, scale=None,
         scale = q.shape[-1] ** -0.5
     qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     o, _, _ = _flash_fwd_with_residuals(
-        qt, kt, vt, causal=causal, scale=scale,
+        qt, kt, vt, bias_k, causal=causal, scale=scale,
         block_q=min(block_q, q.shape[1]), block_k=min(block_k, k.shape[1]),
         interpret=interpret,
     )
     return o.transpose(0, 2, 1, 3)
 
 
-def _fa_fwd(q, k, v, causal, scale, block_q, block_k, interpret):
+def _fa_fwd(q, k, v, causal, scale, block_q, block_k, interpret, bias_k=None):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     bq, bk = min(block_q, q.shape[1]), min(block_k, k.shape[1])
     o, m, l = _flash_fwd_with_residuals(
-        qt, kt, vt, causal=causal, scale=scale, block_q=bq, block_k=bk,
+        qt, kt, vt, bias_k, causal=causal, scale=scale, block_q=bq, block_k=bk,
         interpret=interpret,
     )
-    return o.transpose(0, 2, 1, 3), (qt, kt, vt, o, m, l)
+    return o.transpose(0, 2, 1, 3), (qt, kt, vt, o, m, l, bias_k)
 
 
 def _fa_bwd(causal, scale, block_q, block_k, interpret, res, g):
-    qt, kt, vt, o, m, l = res
+    qt, kt, vt, o, m, l, bias_k = res
     if scale is None:
         scale = qt.shape[-1] ** -0.5
     bq, bk = min(block_q, qt.shape[2]), min(block_k, kt.shape[2])
     do = g.transpose(0, 2, 1, 3)
     dq, dk, dv = _flash_bwd(
-        qt, kt, vt, o, m, l, do, causal=causal, scale=scale,
+        qt, kt, vt, o, m, l, do, bias_k, causal=causal, scale=scale,
         block_q=bq, block_k=bk, interpret=interpret,
     )
+    dbias = None if bias_k is None else jnp.zeros_like(bias_k)
     return (
         dq.transpose(0, 2, 1, 3),
         dk.transpose(0, 2, 1, 3),
         dv.transpose(0, 2, 1, 3),
+        dbias,
     )
 
 
@@ -543,7 +625,7 @@ flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)
 
 def flash_attention_trainable_padded(q, k, v, causal=True, scale=None,
                                      block_q=128, block_k=128,
-                                     interpret=False):
+                                     interpret=False, bias_k=None):
     """flash_attention_trainable for ANY sequence length (causal only).
 
     Pads S/T up to the tile size and slices the output back; safe because
@@ -551,7 +633,8 @@ def flash_attention_trainable_padded(q, k, v, causal=True, scale=None,
     masking hides them (the same argument that makes right-padded batches
     mask-free), and padded queries' rows are sliced away — their gradients
     are exactly zero through the slice. Autodiff of the pad/slice wrappers
-    is automatic; the custom-vjp kernel runs on the padded shapes.
+    is automatic; the custom-vjp kernel runs on the padded shapes. `bias_k`
+    [H, T] is zero-padded along T (padded keys are causally masked anyway).
     """
     if not causal:
         raise ValueError(
@@ -565,12 +648,13 @@ def flash_attention_trainable_padded(q, k, v, causal=True, scale=None,
     sp, tp = -s % block_q, -t % block_k
     if not (sp or tp):
         return flash_attention_trainable(
-            q, k, v, causal, scale, block_q, block_k, interpret
+            q, k, v, causal, scale, block_q, block_k, interpret, bias_k
         )
     qp = jnp.pad(q, ((0, 0), (0, sp), (0, 0), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, tp), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, tp), (0, 0), (0, 0)))
+    bp = None if bias_k is None else jnp.pad(bias_k, ((0, 0), (0, tp)))
     out = flash_attention_trainable(
-        qp, kp, vp, causal, scale, block_q, block_k, interpret
+        qp, kp, vp, causal, scale, block_q, block_k, interpret, bp
     )
     return out[:, :s]

@@ -150,3 +150,65 @@ def test_padded_rejects_noncausal():
     q = _rand((1, 130, 2, 64), 23)
     with pytest.raises(ValueError, match="causal"):
         flash_attention_trainable_padded(q, q, q, False, None, 128, 128, True)
+
+
+@pytest.mark.parametrize("hkv", [1, 4])
+def test_gradients_with_alibi_bias(hkv):
+    """bias_k rides through fwd residuals AND both bwd recomputes (MPT/ALiBi).
+
+    dbias is defined as zero (constant table, matching the reference Triton
+    kernel) so only dq/dk/dv are compared.
+    """
+    from teochat_tpu.models.mpt import alibi_bias
+
+    b, h, d, s = 1, 4, 64, 256
+    q = _rand((b, s, h, d), 20) * 0.3
+    k = _rand((b, s, hkv, d), 21) * 0.3
+    v = _rand((b, s, hkv, d), 22)
+    table = alibi_bias(h, s)[0, :, 0, :]  # [H, S]
+
+    def loss_flash(q, k, v):
+        o = flash_attention_trainable(q, k, v, True, None, 128, 128, True, table)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_xla(q, k, v):
+        o = xla_attention(q, k, v, causal=True, bias=table[None, :, None, :])
+        return jnp.sum(o * jnp.cos(o))
+
+    ref = xla_attention(q, k, v, causal=True, bias=table[None, :, None, :])
+    got = flash_attention_trainable(q, k, v, True, None, 128, 128, True, table)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3,
+            err_msg=f"d{name} mismatch (hkv={hkv})",
+        )
+
+
+def test_gradients_bias_padded_lengths():
+    """bias_k + off-tile lengths through the pad+slice wrapper."""
+    from teochat_tpu.ops.flash_attention import flash_attention_trainable_padded
+
+    b, h, d, s = 1, 2, 64, 200
+    q = _rand((b, s, h, d), 23) * 0.3
+    k = _rand((b, s, h, d), 24) * 0.3
+    v = _rand((b, s, h, d), 25)
+    table = _rand((h, s), 26) * 0.1
+
+    def loss_flash(q, k, v):
+        o = flash_attention_trainable_padded(
+            q, k, v, True, None, 128, 128, True, table
+        )
+        return jnp.sum(o ** 2)
+
+    def loss_xla(q, k, v):
+        o = xla_attention(q, k, v, causal=True, bias=table[None, :, None, :])
+        return jnp.sum(o ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-3)
