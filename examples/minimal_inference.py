@@ -2,13 +2,22 @@
 
 Drives the exact user flow from the reference README (README.md:113-124):
 load_model-style setup -> run_inference_single on a 2-frame temporal sequence.
-Runs on CPU or TPU. With a real converted checkpoint directory, replace the
-tiny-model block with `teochat_tpu.eval.eval.load_model(path, load_8bit=True)`.
+Defaults to CPU (a tiny random model gains nothing from an accelerator, and
+compiling its dozen programs through a remote-TPU tunnel takes minutes);
+pass --tpu to run on the default backend. With a real converted checkpoint
+directory, replace the tiny-model block with
+`teochat_tpu.eval.eval.load_model(path, load_8bit=True)`.
 """
 
+import sys
 import types
 
 import numpy as np
+
+if "--tpu" not in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import jax
 

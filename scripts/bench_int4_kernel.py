@@ -194,6 +194,14 @@ def v3_matmul(x, packed_i8, scale, *, n_out, block_k2=512, mask_dtype=jnp.int32)
 
 
 # ------------------------------------------ v4: Mosaic-native jnp.int4 storage
+#
+# NEGATIVE RESULT (r3, confirming the r2 probe with a precise signature): the
+# axon tunnel's jit wrapper cannot take S4 arrays as call arguments — passing
+# the packed int4 tiles into any jitted function raises
+#   RecursionError: Recursively calling jit: ... S4[22,4096,512] ...
+# at transfer time (layout T(64,128)(8,1)), before the kernel runs. The
+# kernel itself is fine; the blocker is the toolchain's S4 argument path, not
+# fixable repo-side. Production keeps the v3 combined-byte i8 format.
 def pack_int4_native(w_q, bn=TILE_BN):
     """[K, N] int4 values -> [n_tiles, K, bn] jnp.int4 (N zero-padded).
 
