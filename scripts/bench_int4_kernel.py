@@ -262,6 +262,82 @@ def v4_matmul(x, packed_i4, scale, *, n_out, block_k=1024):
     return y[:m, :n_out]
 
 
+# --------------------------------------- v5: v3 storage + word-masked lo nibble
+#
+# v3's remaining VPU cost is the lo extraction: widen i8->i32 (1), mask (1),
+# convert (1) = 3 ops/byte on top of the direct byte convert. The widen wastes
+# 3/4 of each i32 lane. v5 instead bitcasts the i8 block to i32 along the
+# SUBLANE axis (pltpu.bitcast: [bk2, bn] i8 -> [bk2/4, bn] i32, 4 bytes/lane),
+# masks all four low nibbles with ONE `& 0x0F0F0F0F`, bitcasts back to i8, and
+# uses the same direct i8->bf16 convert as the byte plane. AND is positional
+# and bitcast∘bitcast is identity, so the sublane packing order is irrelevant.
+# Per byte: convert(byte) 1 + and 0.25 + convert(lo) 1 ≈ 2.25 ops (vs 4).
+#
+# NEGATIVE RESULT (r3, measured on the gate projection, bk2=512):
+#   dma_only 187.8 GB/s | v3 173.0 | v5 165.9  — the i8<->i32 bitcasts force a
+# Mosaic relayout (int8's packed (32,128) tiling is interleaved, not plain
+# row-grouped) that costs more than the 1.75 VPU ops/byte it saves. v3 already
+# runs at 92% of the kernel's own DMA bound; production keeps v3.
+def _v5_kernel(xa_ref, xb_ref, packed_ref, scale_ref, o_ref, acc_ref, *, n_k):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    b = packed_ref[0]  # [bk2, bn] i8 = (L+8) + 16*H
+    byte = b.astype(xa_ref.dtype)  # direct i8 -> bf16
+    words = pltpu.bitcast(b, jnp.int32)  # [bk2/4, bn], 4 bytes per lane
+    lo = pltpu.bitcast(words & 0x0F0F0F0F, jnp.int8).astype(xa_ref.dtype)
+    xa = xa_ref[...]
+    xb = xb_ref[...]
+    acc_ref[...] += jax.lax.dot(xa, lo, preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot(xb, byte, preferred_element_type=jnp.float32)
+    corr = 8.0 * jnp.sum(
+        xa.astype(jnp.float32) + xb.astype(jnp.float32), axis=1
+    )
+    acc_ref[...] -= corr[:, None]
+
+    @pl.when(k_idx == n_k - 1)
+    def _store():
+        o_ref[0] = (acc_ref[...] * scale_ref[0, 0].astype(jnp.float32)).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "block_k2"))
+def v5_matmul(x, packed_i8, scale, *, n_out, block_k2=512):
+    m, k = x.shape
+    n_tiles, k2, bn = packed_i8.shape
+    m_pad = max(8, ((m + 7) // 8) * 8)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    x_lo, x_hi = x[:, :k2], x[:, k2:]
+    xb = (x_hi.astype(jnp.float32) / 16.0).astype(x.dtype)
+    xa = (x_lo.astype(jnp.float32) - xb.astype(jnp.float32)).astype(x.dtype)
+    bk2 = min(block_k2, k2)
+    n_k = pl.cdiv(k2, bk2)
+
+    out = pl.pallas_call(
+        functools.partial(_v5_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, m_pad, bn), x.dtype),
+        grid=(n_tiles, n_k),
+        in_specs=[
+            pl.BlockSpec((m_pad, bk2), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((m_pad, bk2), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((1, bk2, bn), lambda ni, ki: (ni, ki, 0)),
+            pl.BlockSpec((1, 1, bn), lambda ni, ki: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, bn), lambda ni, ki: (ni, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((m_pad, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(xa, xb, packed_i8, scale.reshape(n_tiles, 1, bn))
+    y = out.transpose(1, 0, 2).reshape(m_pad, n_tiles * bn)
+    return y[:m, :n_out]
+
+
 # ------------------------------------------------ vpu probe: unpack, no dots
 def _vpu_kernel(packed_ref, o_ref, acc_ref, *, n_k):
     k_idx = pl.program_id(1)
@@ -447,6 +523,7 @@ def main():
         ("v3_i8", lambda xx: v3_matmul(xx, tiles_i8, scale_pad, n_out=N)),
         ("v3_i8_m16", lambda xx: v3_matmul(
             xx, tiles_i8, scale_pad, n_out=N, mask_dtype=jnp.int16)),
+        ("v5_words", lambda xx: v5_matmul(xx, tiles_i8, scale_pad, n_out=N)),
     ]
     try:  # Mosaic-native int4 (r2 probe hit a toolchain RecursionError)
         tiles_i4 = pack_int4_native(w_q)
@@ -464,6 +541,10 @@ def main():
     time_variant("dma_only", lambda xx: dma_only_matmul(xx, tiles, n_out=N), x)
     for name, fn in variants:
         time_variant(name, fn, x)
+
+    import sys
+    if "--quick" in sys.argv:
+        return
 
     # block-size sweep: fewer, larger grid cells (per-cell overhead suspect)
     for bn_tile in (512, 1024, 2048):
