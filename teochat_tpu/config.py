@@ -122,6 +122,16 @@ class LlamaConfig:
     # size. None = off — the single-device cached path. Orthogonal to
     # `sequence_axis` (which covers cache-FREE forwards).
     cache_sequence_axis: Optional[str] = None
+    # Pipeline parallelism: name of a mesh axis to shard the stacked LAYER
+    # axis over in cache-free forwards (parallel/pipeline.py). Stage s holds
+    # layers [s*L/P, (s+1)*L/P); activations rotate stage-to-stage via
+    # ppermute in the GPipe microbatch schedule. num_layers must divide the
+    # axis size; batch must divide pipeline_microbatches. Incompatible with
+    # sequence_axis (would nest shard_maps). None = off.
+    pipeline_axis: Optional[str] = None
+    # Microbatch count for the pipeline schedule (None = stage count).
+    # Bubble fraction is (P-1)/(M+P-1): more microbatches, less bubble.
+    pipeline_microbatches: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
@@ -166,13 +176,16 @@ class GenerationConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout: (data, fsdp, model) axes over ICI (SURVEY §2.4),
-    plus an optional `sequence` axis (context parallelism, only materialized
-    when > 1 — see LlamaConfig.sequence_axis / parallel/ring_attention.py)."""
+    plus optional `sequence` (context parallelism — LlamaConfig.sequence_axis
+    / parallel/ring_attention.py) and `pipe` (pipeline parallelism —
+    LlamaConfig.pipeline_axis / parallel/pipeline.py) axes, each only
+    materialized when > 1."""
 
     data: int = 1
     fsdp: int = 1
     model: int = 1
     sequence: int = 1
+    pipe: int = 1
     axis_names: Tuple[str, str, str] = ("data", "fsdp", "model")
 
 

@@ -361,14 +361,40 @@ def llama_forward(
     if cache is None:
         mask2d = attention_mask
 
-        def body(carry, lp):
-            y, _, _ = layer_fn(
-                carry, lp, cfg, cos, sin, mask2d, None, None, None, None,
-                right_padded,
-            )
-            return y, None
+        if cfg.pipeline_axis is not None:
+            # GPipe pipeline over the stacked layer axis
+            # (parallel/pipeline.py): stage s holds layers [s*L/P, ...);
+            # activations rotate via ppermute. cos/sin/mask travel with
+            # their microbatch. Ring attention inside a stage would nest
+            # shard_maps — reject the combination explicitly.
+            if cfg.sequence_axis is not None:
+                raise ValueError(
+                    "pipeline_axis and sequence_axis cannot be combined "
+                    "(ring attention inside a pipeline stage nests shard_maps)"
+                )
+            from teochat_tpu.parallel.pipeline import pipelined_scan_blocks
 
-        x, _ = jax.lax.scan(body, x, params["layers"])
+            def block_fn(xc, lp, cos_b, sin_b, mask_b):
+                y, _, _ = layer_fn(
+                    xc, lp, cfg, cos_b, sin_b, mask_b, None, None, None,
+                    None, right_padded,
+                )
+                return y
+
+            x = pipelined_scan_blocks(
+                params["layers"], block_fn, x, cos, sin, mask2d,
+                axis_name=cfg.pipeline_axis,
+                num_microbatches=cfg.pipeline_microbatches,
+            )
+        else:
+            def body(carry, lp):
+                y, _, _ = layer_fn(
+                    carry, lp, cfg, cos, sin, mask2d, None, None, None, None,
+                    right_padded,
+                )
+                return y, None
+
+            x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
         # fori_loop over layers with the STACKED cache buffers carried whole:

@@ -20,7 +20,7 @@ from teochat_tpu.config import MeshConfig
 
 
 def create_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
-    """Build a (data, fsdp, model[, sequence]) mesh.
+    """Build a (data, fsdp, model[, sequence][, pipe]) mesh.
 
     Axis sizes multiply to the device count; any axis given as -1 absorbs the
     remainder (at most one). Defaults to all devices on the fsdp axis. The
@@ -40,6 +40,11 @@ def create_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     if cfg.sequence != 1:
         sizes.append(cfg.sequence)
         names.append("sequence")
+    if cfg.pipe < 1:
+        raise ValueError(f"pipe axis size must be >= 1, got {cfg.pipe}")
+    if cfg.pipe != 1:
+        sizes.append(cfg.pipe)
+        names.append("pipe")
     if sizes.count(-1) > 1:
         raise ValueError("at most one mesh axis may be -1")
     if -1 in sizes:

@@ -127,10 +127,22 @@ def param_specs(params: Dict, mesh: Mesh = None) -> Dict:
     divisible by the mesh axis size fall back to replicated)."""
 
     def leaf_spec(path, leaf):
-        spec = spec_for_path(_path_str(path))
+        path_s = _path_str(path)
+        spec = spec_for_path(path_s)
         # drop axes that exceed the leaf's rank (e.g. unstacked variants)
         if len(spec) > leaf.ndim:
             spec = P(*spec[: leaf.ndim])
+        if (
+            mesh is not None
+            and "pipe" in mesh.shape
+            and path_s.startswith("llm/layers/")
+            and leaf.ndim >= 1
+            and (len(spec) == 0 or spec[0] is None)
+        ):
+            # pipeline parallelism (parallel/pipeline.py): the stacked layer
+            # axis shards over `pipe` so each stage's slab is device-resident
+            rest = tuple(spec[1:]) if len(spec) else ()
+            spec = P("pipe", *rest)
         if mesh is not None:
             spec = _fit_spec(spec, leaf.shape, mesh)
         return spec

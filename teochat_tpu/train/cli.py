@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_sequence", type=int, default=1,
                    help="context parallelism: shard the sequence over this "
                         "many devices (ring attention)")
+    p.add_argument("--mesh_pipe", type=int, default=1,
+                   help="pipeline parallelism: shard the layer stack over "
+                        "this many stages (GPipe microbatch schedule)")
+    p.add_argument("--pipeline_microbatches", type=int, default=None,
+                   help="microbatches per pipeline step (default: stage "
+                        "count); batch size must divide evenly")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() (multi-host)")
@@ -114,7 +120,9 @@ def main(argv=None):
         lora_alpha=args.lora_alpha,
         group_by_modality_length=args.group_by_modality_length,
         mesh=MeshConfig(data=args.mesh_data, fsdp=args.mesh_fsdp,
-                        model=args.mesh_model, sequence=args.mesh_sequence),
+                        model=args.mesh_model, sequence=args.mesh_sequence,
+                        pipe=args.mesh_pipe),
+        pipeline_microbatches=args.pipeline_microbatches,
     )
     with profile_trace(args.profile_dir):
         train(model_args, data_args, training_args)

@@ -92,6 +92,8 @@ class TrainingArguments:
     group_by_modality_length: bool = True
     gradient_checkpointing: bool = True
     mesh: MeshConfig = field(default_factory=lambda: MeshConfig(fsdp=-1))
+    # microbatches per pipeline step when mesh.pipe > 1 (None = stage count)
+    pipeline_microbatches: Optional[int] = None
     report_to: str = "tensorboard"
 
 
@@ -268,6 +270,26 @@ def train(
             cfg, llm=dataclasses.replace(cfg.llm, sequence_axis="sequence")
         )
         _mesh_ctx = jax.set_mesh(mesh)  # applies immediately
+    if training_args.mesh.pipe > 1:
+        if mesh is None:
+            raise ValueError(
+                f"--mesh_pipe {training_args.mesh.pipe} needs a multi-device "
+                f"runtime (have {jax.device_count()} device)"
+            )
+        import dataclasses
+
+        # GPipe over the stacked layer axis (parallel/pipeline.py): the
+        # sharding rules put 'pipe' on every layer leaf's leading dim, the
+        # decoder's cache-free path runs the microbatch rotation. Same
+        # run-only-topology rule as sequence_axis: never persisted.
+        run_cfg = dataclasses.replace(
+            run_cfg, llm=dataclasses.replace(
+                run_cfg.llm, pipeline_axis="pipe",
+                pipeline_microbatches=training_args.pipeline_microbatches,
+            )
+        )
+        if _mesh_ctx is None:
+            _mesh_ctx = jax.set_mesh(mesh)
     try:
 
         # auto-resume (reference train.py:1109-1112)
