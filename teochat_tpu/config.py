@@ -154,6 +154,10 @@ class MptConfig:
     no_bias: bool = True
     learned_pos_emb: bool = False
     logit_scale: Optional[float] = None
+    # pipeline parallelism over the stacked layer axis (parallel/pipeline.py),
+    # same contract as LlamaConfig.pipeline_axis
+    pipeline_axis: Optional[str] = None
+    pipeline_microbatches: Optional[int] = None
 
 
 @dataclass(frozen=True)

@@ -382,7 +382,7 @@ def llama_forward(
                 return y
 
             x = pipelined_scan_blocks(
-                params["layers"], block_fn, x, cos, sin, mask2d,
+                params["layers"], block_fn, x, (cos, sin, mask2d),
                 axis_name=cfg.pipeline_axis,
                 num_microbatches=cfg.pipeline_microbatches,
             )

@@ -185,14 +185,31 @@ def mpt_forward(
     q_slots = write_slots
 
     if cache is None:
+        if cfg.pipeline_axis is not None:
+            # GPipe over the stacked layer axis (parallel/pipeline.py); the
+            # ALiBi bias is microbatch-independent and closes over the block,
+            # only the padding mask travels with its microbatch
+            from teochat_tpu.parallel.pipeline import pipelined_scan_blocks
 
-        def body(carry, lp):
-            y, _, _ = _mpt_layer(
-                carry, lp, cfg, bias, attention_mask, None, None, None, None
+            def block_fn(xc, lp, mask_b):
+                y, _, _ = _mpt_layer(
+                    xc, lp, cfg, bias, mask_b, None, None, None, None
+                )
+                return y
+
+            x = pipelined_scan_blocks(
+                params["layers"], block_fn, x, (attention_mask,),
+                axis_name=cfg.pipeline_axis,
+                num_microbatches=cfg.pipeline_microbatches,
             )
-            return y, None
+        else:
+            def body(carry, lp):
+                y, _, _ = _mpt_layer(
+                    carry, lp, cfg, bias, attention_mask, None, None, None, None
+                )
+                return y, None
 
-        x, _ = jax.lax.scan(body, x, params["layers"])
+            x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
         n_layers = cache.k.shape[0]

@@ -24,8 +24,7 @@ pipeline stage would nest shard_maps) — llama_forward rejects that combo.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,11 +33,9 @@ from jax.sharding import PartitionSpec as P
 
 def pipelined_scan_blocks(
     layers,  # pytree of stacked [L, ...] leaves (the repo-wide convention)
-    block_fn: Callable,  # (x, layer_params, cos, sin, mask) -> x
+    block_fn: Callable,  # (x, layer_params, *mb_args) -> x
     x: jnp.ndarray,  # [B, S, D]
-    cos: jnp.ndarray,  # [B, S, Hd] RoPE tables (rotate with their microbatch)
-    sin: jnp.ndarray,  # [B, S, Hd]
-    mask: Optional[jnp.ndarray],  # [B, S] padding validity or None
+    batched_args: Sequence[Optional[jnp.ndarray]] = (),  # each [B, ...]
     *,
     axis_name: str = "pipe",
     num_microbatches: Optional[int] = None,
@@ -49,6 +46,10 @@ def pipelined_scan_blocks(
     ring_attention.ring_self_attention): shard_map splits the stacked layer
     leaves' leading axis across the pipeline stages and runs the microbatch
     rotation. Returns the full [B, S, D] result, replicated over the axis.
+
+    `batched_args` are per-example operands (leading dim B — RoPE tables,
+    padding masks, ALiBi has none) that each stage indexes for the microbatch
+    it is currently processing; None entries pass through as None.
 
     The batch is split into `num_microbatches` (default: the stage count)
     equal microbatches; B must divide evenly. Each scan step, stage s
@@ -75,15 +76,20 @@ def pipelined_scan_blocks(
     def split(a):  # [B, ...] -> [M, mb, ...]
         return a.reshape(m, mb, *a.shape[1:])
 
-    xs, cos_s, sin_s = split(x), split(cos), split(sin)
-    mask_s = split(mask) if mask is not None else None
+    xs = split(x)
+    present = [i for i, a in enumerate(batched_args) if a is not None]
+    args_s = tuple(split(batched_args[i]) for i in present)
 
-    def stage_fn(local_layers, xs, cos_s, sin_s, mask_s):
+    def stage_fn(local_layers, xs, *args_s):
         stage = jax.lax.axis_index(axis_name)
 
-        def run_local(x_in, cos_in, sin_in, mask_in):
+        def run_local(x_in, mb_args):
+            full_args = [None] * len(batched_args)
+            for slot, a in zip(present, mb_args):
+                full_args[slot] = a
+
             def body(carry, lp):
-                return block_fn(carry, lp, cos_in, sin_in, mask_in), None
+                return block_fn(carry, lp, *full_args), None
 
             y, _ = jax.lax.scan(body, x_in, local_layers)
             return y
@@ -101,10 +107,7 @@ def pipelined_scan_blocks(
                 a, mb_idx, 0, keepdims=False
             )
             x_in = jnp.where(stage == 0, take(xs), recv)
-            y = run_local(
-                x_in, take(cos_s), take(sin_s),
-                take(mask_s) if mask_s is not None else None,
-            )
+            y = run_local(x_in, tuple(take(a) for a in args_s))
             out_idx = jnp.clip(t - (p - 1), 0, m - 1)
             write = jnp.logical_and(stage == p - 1, t >= p - 1)
             prev = jax.lax.dynamic_index_in_dim(out_buf, out_idx, 0,
@@ -129,15 +132,12 @@ def pipelined_scan_blocks(
 
     layer_specs = jax.tree.map(lambda _: P(axis_name), layers)
     rep = P()
-    in_specs = (layer_specs, rep, rep, rep) + ((rep,) if mask_s is not None else ())
-    args = (layers, xs, cos_s, sin_s) + ((mask_s,) if mask_s is not None else ())
     fn = jax.shard_map(
-        (stage_fn if mask_s is not None
-         else lambda l, a, c, s: stage_fn(l, a, c, s, None)),
-        in_specs=in_specs,
+        stage_fn,
+        in_specs=(layer_specs, rep) + (rep,) * len(args_s),
         out_specs=rep,
         check_vma=False,  # psum makes the output replicated; skip the proof
         axis_names={axis_name},  # manual only over pipe; data/fsdp/model stay auto
     )
-    out = fn(*args)
+    out = fn(layers, xs, *args_s)
     return out.reshape(b, *x.shape[1:])

@@ -180,3 +180,32 @@ def test_pipeline_rejects_sequence_combo():
     x, pos = _inputs(cfg)
     with pytest.raises(ValueError, match="cannot be combined"):
         _fwd(params, cfg, x, pos)
+
+
+def test_pipeline_mpt_forward_matches_scan():
+    """The MPT backend rides the same pipeline (ALiBi bias closes over the
+    block; only the padding mask travels with its microbatch)."""
+    from teochat_tpu.config import MptConfig
+    from teochat_tpu.models.mpt import init_mpt, mpt_forward
+
+    cfg = MptConfig(
+        vocab_size=128, d_model=32, n_layers=8, n_heads=4, max_seq_len=64
+    )
+    params = init_mpt(jax.random.PRNGKey(9), cfg, jnp.float32)
+    rs = np.random.RandomState(10)
+    x = jnp.asarray(rs.randn(4, 16, cfg.d_model) * 0.1, jnp.float32)
+    mask = jnp.asarray(rs.rand(4, 16) > 0.2, jnp.bool_)
+
+    ref, _ = mpt_forward(params, cfg, x, attention_mask=mask)
+
+    mesh = _pipe_mesh(4)
+    pcfg = dataclasses.replace(cfg, pipeline_axis="pipe")
+    with jax.set_mesh(mesh):
+        got, _ = jax.jit(
+            lambda p: mpt_forward(p, pcfg, x, attention_mask=mask)
+        )(params)
+    valid = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(got) * valid, np.asarray(ref) * valid,
+        rtol=2e-5, atol=2e-5,
+    )

@@ -256,3 +256,38 @@ def test_sequence_parallel_single_device_rejected(setup, tmp_path, monkeypatch):
         train(ma, da, ta, cfg=cfg,
               params=jax.tree.map(jnp.copy, params), tokenizer=tok,
               dataset=data, max_steps_override=2)
+
+
+def test_pipeline_parallel_training_run(tmp_path):
+    """Full train() driver with --mesh_pipe wiring: runs steps on a
+    (data=1, fsdp=2, pipe=4) mesh with the layer stack sharded per stage.
+    The SAVED checkpoint config must NOT carry the run-topology
+    pipeline_axis; the ambient mesh is restored after train()."""
+    import dataclasses
+
+    from teochat_tpu.config import MeshConfig
+
+    cfg = tiny_test_config(vocab_size=256)
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, num_layers=4)  # 4 % pipe == 0
+    )
+    params = init_teochat(jax.random.PRNGKey(1), cfg)
+    tok = MockTokenizer()
+    data = [_raw_example(2, s) for s in range(6)]
+
+    ma, da, ta = _args(
+        tmp_path / "pipe", max_steps=2,
+        mesh=MeshConfig(data=1, fsdp=2, model=1, pipe=4),
+        pipeline_microbatches=2,  # batch 2 must divide the microbatch count
+    )
+    state = train(ma, da, ta, cfg=cfg, params=params, tokenizer=tok,
+                  dataset=data, max_steps_override=2)
+    assert int(state.step) == 2
+    assert dict(jax.sharding.get_abstract_mesh().shape) == {}  # restored
+    import glob
+    import json
+
+    cfgs = glob.glob(str(tmp_path / "pipe" / "checkpoint-*" / "config.json"))
+    assert cfgs
+    saved = json.load(open(sorted(cfgs)[-1]))
+    assert saved.get("llm", {}).get("pipeline_axis") is None
