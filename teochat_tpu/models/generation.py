@@ -298,7 +298,7 @@ def decode_with_cache(params, cfg, cache, logits0, start_pos, stop, rng, *,
 
     Returns (tokens, n_gen, cache) — the cache keeps the generated tokens'
     K/V (all but the last sampled token's), enabling the next session turn."""
-    emb_dtype = cache.k.dtype if cache.k.dtype != jnp.dtype("float8_e4m3fn") else jnp.bfloat16
+    emb_dtype = cache.dtype if cache.dtype != jnp.dtype("float8_e4m3fn") else jnp.bfloat16
     return _run_decode_loop(
         params, cfg, cache, logits0, start_pos, stop, rng,
         max_new_tokens=max_new_tokens, temperature=temperature,
@@ -614,8 +614,8 @@ def decode_with_cache_spec(params, cfg, cache, logits0, start_pos,
     start_pos + max_new_tokens (plus the trash slot). Returns
     (tokens, n_gen, steps, accepted, cache)."""
     emb_dtype = (
-        cache.k.dtype
-        if cache.k.dtype != jnp.dtype("float8_e4m3fn") else jnp.bfloat16
+        cache.dtype
+        if cache.dtype != jnp.dtype("float8_e4m3fn") else jnp.bfloat16
     )
     return _run_spec_decode_loop(
         params, cfg, cache, logits0, start_pos, prompt_ids, prompt_id_lens,

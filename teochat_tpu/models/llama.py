@@ -4,7 +4,8 @@ TPU-first rebuild of the reference's decoder path (HF LlamaForCausalLM as used
 by videollava/model/language_model/llava_llama.py:33-99):
 - stacked per-layer params + `lax.scan` (one traced layer body, not 32);
 - RoPE in the HF rotate-half convention (checkpoint-compatible);
-- KV cache as one stacked [L, B, T_max, H_kv, D] pytree carried WHOLE through
+- KV cache as one stacked [L, 2, B, T_max, H_kv, D] buffer (K and V share it,
+  so each layer's decode update is a single scatter) carried WHOLE through
   a fori_loop over layers (in-place scatter writes; threading per-layer slabs
   through scan ys would copy the full cache every decode step) — decode steps
   write at a *per-row* slot index, so ragged batches need no left-padding
@@ -31,29 +32,47 @@ Params = Dict
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    k: jnp.ndarray  # [L, B, T_max, H_kv, D]
-    v: jnp.ndarray  # [L, B, T_max, H_kv, D]
+    """K and V in ONE buffer so each decode step issues ONE scatter per layer.
+
+    Separate k/v arrays cost two [L,B,T,H,D] scatters per layer per decode
+    step; at 8 KB per write the cost is pure op overhead (~1.4 us each,
+    ~85 us/step at 7B — hlo_stats, scripts/profile_decode.py). Stacking them
+    as kv[L, 2, B, T, H, D] halves the scatter count; reads stay dense
+    ([l, 0] / [l, 1] slabs stream into the attention fusions unchanged).
+    """
+
+    kv: jnp.ndarray  # [L, 2, B, T_max, H_kv, D]; [:, 0] = K, [:, 1] = V
+
+    @property
+    def k(self) -> jnp.ndarray:
+        return self.kv[:, 0]
+
+    @property
+    def v(self) -> jnp.ndarray:
+        return self.kv[:, 1]
+
+    @property
+    def dtype(self):
+        return self.kv.dtype
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.kv.shape[3]
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    k = jnp.zeros(shape, dtype)
-    v = jnp.zeros(shape, dtype)
+    shape = (cfg.num_layers, 2, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    kv = jnp.zeros(shape, dtype)
     if cfg.cache_sequence_axis is not None:
         # pin the TIME axis onto the mesh so decode reads stay shard-local
         # (parallel/sharded_cache.py); writes are GSPMD scatters
         mesh = jax.sharding.get_abstract_mesh()
         if mesh is not None and cfg.cache_sequence_axis in mesh.shape:
             spec = jax.sharding.PartitionSpec(
-                None, None, cfg.cache_sequence_axis, None, None
+                None, None, None, cfg.cache_sequence_axis, None, None
             )
-            k = jax.lax.with_sharding_constraint(k, spec)
-            v = jax.lax.with_sharding_constraint(v, spec)
-    return KVCache(k=k, v=v)
+            kv = jax.lax.with_sharding_constraint(kv, spec)
+    return KVCache(kv=kv)
 
 
 def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -125,19 +144,19 @@ def _attention_layer(
     sin: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray],
     q_slots: Optional[jnp.ndarray],
-    k_cache: Optional[jnp.ndarray],
-    v_cache: Optional[jnp.ndarray],
+    kv_cache: Optional[jnp.ndarray],
     write_slots: Optional[jnp.ndarray],
     right_padded: bool = False,
     layer: Optional[jnp.ndarray] = None,
     row_offset=0,
     act_quant: bool = False,
     spec_verify: bool = False,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Self-attention with optional KV cache.
 
-    x: [B, S, D]; k_cache/v_cache: FULL stacked [L, B, T_max, H_kv, Hd] with
-    `layer` selecting this layer's slab (kept whole so updates stay in place);
+    x: [B, S, D]; kv_cache: FULL stacked [L, 2, B, T_max, H_kv, Hd] with
+    `layer` selecting this layer's slab (kept whole so updates stay in place;
+    K and V ride one buffer so each update is ONE scatter — see KVCache);
     write_slots: [B, S] slot index for each new token; q_slots: [B, S] slot of
     each query (for causal masking against cache slots); kv_mask: [B, T_max]
     validity. `spec_verify`: treat an S>1 block like S decode steps (per-row
@@ -166,7 +185,7 @@ def _attention_layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if k_cache is None:
+    if kv_cache is None:
         if cfg.sequence_axis is not None:
             # context parallelism: S is sharded over the mesh's sequence
             # axis; K/V blocks rotate around the ICI ring while each shard
@@ -202,9 +221,9 @@ def _attention_layer(
             # cache-free path: causal self-attention over S (plus padding mask)
             out = dot_product_attention(q, k, v, causal=True, mask=kv_mask)
     else:
-        # k_cache/v_cache here are the FULL stacked [L, B, T, H_kv, D] buffers
+        # kv_cache here is the FULL stacked [L, 2, B, T, H_kv, D] buffer
         # with `layer` selecting this layer's slab; scatter-writing through the
-        # layer index keeps the buffers in place across the layer loop and the
+        # layer index keeps the buffer in place across the layer loop and the
         # decode while_loop. (Round 1 threaded per-layer caches through
         # lax.scan ys, which re-stacked — i.e. fully copied — both cache
         # buffers every decode step: ~1.5 GB x2 at bs=8, ~10 ms/step of pure
@@ -217,22 +236,19 @@ def _attention_layer(
             # progressively overwritten by decode writes. `row_offset` places
             # a b-row prefill at cache rows [row_offset, row_offset+b) — the
             # serving engine prefills one request into its slot while other
-            # slots keep decoding.
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype)[None],
-                (layer, row_offset, 0, 0, 0),
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype)[None],
-                (layer, row_offset, 0, 0, 0),
+            # slots keep decoding. K and V land in one update.
+            kv_cache = jax.lax.dynamic_update_slice(
+                kv_cache,
+                jnp.stack([k, v], axis=0).astype(kv_cache.dtype)[None],
+                (layer, 0, row_offset, 0, 0, 0),
             )
         else:
+            # decode / spec-verify: ONE scatter writes both K and V rows
+            # (advanced indices around the `:` broadcast to the front, so
+            # the update carries the K/V pair on axis 2)
             batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
-            k_cache = k_cache.at[layer, batch_idx, write_slots].set(
-                k.astype(k_cache.dtype)
-            )
-            v_cache = v_cache.at[layer, batch_idx, write_slots].set(
-                v.astype(v_cache.dtype)
+            kv_cache = kv_cache.at[layer, :, batch_idx, write_slots].set(
+                jnp.stack([k, v], axis=2).astype(kv_cache.dtype)
             )
         if s > 1 and not spec_verify:
             # Prefill: right-padded fused prompts start at slot 0, so causal
@@ -245,8 +261,8 @@ def _attention_layer(
             # masked to live slots. The dynamic slice at `layer` is a read
             # (XLA streams it into the attention fusion, measured at HBM
             # roofline); only the scatter above writes.
-            kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
-            vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+            slab = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
+            kl, vl = slab[0], slab[1]
             if cfg.cache_sequence_axis is not None:
                 # Time-sharded cache (parallel/sharded_cache.py): each device
                 # attends over its resident T/n slots; partials combine with
@@ -269,7 +285,7 @@ def _attention_layer(
                     q, kl.astype(q.dtype), vl.astype(q.dtype), mask=mask
                 )
     out = out.reshape(b, s, h * hd)
-    return _proj(out, lp["out"], act_quant, layer), k_cache, v_cache
+    return _proj(out, lp["out"], act_quant, layer), kv_cache
 
 
 def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False, layer=None) -> jnp.ndarray:
@@ -284,7 +300,7 @@ def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False, layer=None) -> jnp
     return _proj(gate * up, lp["down"], act_quant, layer)
 
 
-def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
+def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, kv_cache,
                    write_slots, right_padded=False, layer=None, row_offset=0,
                    spec_verify=False, act_quant_ok=True):
     # w8a8 projections on the compute-bound prefill only (s>1); decode is
@@ -297,13 +313,13 @@ def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
         cfg.int8_prefill_activations and x.shape[1] > 1 and act_quant_ok
     )
     y = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
-    attn_out, k_cache, v_cache = _attention_layer(
-        y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
+    attn_out, kv_cache = _attention_layer(
+        y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, kv_cache,
         write_slots, right_padded, layer, row_offset, act_quant, spec_verify
     )
     x = x + attn_out
     y = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
-    return x + _mlp(y, lp["mlp"], act_quant, layer), k_cache, v_cache
+    return x + _mlp(y, lp["mlp"], act_quant, layer), kv_cache
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
@@ -354,7 +370,7 @@ def llama_forward(
     layer_fn = _decoder_layer
     if remat:
         layer_fn = jax.checkpoint(
-            _decoder_layer, static_argnums=(2, 10),
+            _decoder_layer, static_argnums=(2, 9),
             policy=jax.checkpoint_policies.nothing_saveable,
         )
 
@@ -375,9 +391,9 @@ def llama_forward(
             from teochat_tpu.parallel.pipeline import pipelined_scan_blocks
 
             def block_fn(xc, lp, cos_b, sin_b, mask_b):
-                y, _, _ = layer_fn(
+                y, _ = layer_fn(
                     xc, lp, cfg, cos_b, sin_b, mask_b, None, None, None,
-                    None, right_padded,
+                    right_padded,
                 )
                 return y
 
@@ -388,8 +404,8 @@ def llama_forward(
             )
         else:
             def body(carry, lp):
-                y, _, _ = layer_fn(
-                    carry, lp, cfg, cos, sin, mask2d, None, None, None, None,
+                y, _ = layer_fn(
+                    carry, lp, cfg, cos, sin, mask2d, None, None, None,
                     right_padded,
                 )
                 return y, None
@@ -421,18 +437,18 @@ def llama_forward(
             return jax.lax.dynamic_index_in_dim(tree, l, 0, keepdims=False)
 
         def body(l, carry):
-            y, kc, vc = carry
+            y, kvc = carry
             lp = _slice_layer(params["layers"], l)
-            y, kc, vc = layer_fn(
-                y, lp, cfg, cos, sin, kv_mask, q_slots, kc, vc, write_slots,
+            y, kvc = layer_fn(
+                y, lp, cfg, cos, sin, kv_mask, q_slots, kvc, write_slots,
                 False, l, cache_row_offset, spec_verify, act_quant_ok,
             )
-            return (y, kc, vc)
+            return (y, kvc)
 
-        x, new_k, new_v = jax.lax.fori_loop(
-            0, cfg.num_layers, body, (x, cache.k, cache.v)
+        x, new_kv = jax.lax.fori_loop(
+            0, cfg.num_layers, body, (x, cache.kv)
         )
-        new_cache = KVCache(k=new_k, v=new_v)
+        new_cache = KVCache(kv=new_kv)
 
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
 

@@ -77,15 +77,15 @@ def _mpt_layer(
     cfg: MptConfig,
     bias: jnp.ndarray,  # [H, T] key-position ALiBi table
     mask: Optional[jnp.ndarray],
-    k_cache: Optional[jnp.ndarray],
-    v_cache: Optional[jnp.ndarray],
+    kv_cache: Optional[jnp.ndarray],
     write_slots: Optional[jnp.ndarray],
     q_slots: Optional[jnp.ndarray],
     layer: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
-    """k_cache/v_cache are the FULL stacked [L, B, T, H_kv, D] buffers with
-    `layer` selecting this layer's slab (in-place update pattern shared with
-    models/llama.py — scan ys would copy the whole cache per decode step)."""
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """kv_cache is the FULL stacked [L, 2, B, T, H_kv, D] buffer with
+    `layer` selecting this layer's slab (in-place single-scatter update
+    pattern shared with models/llama.py — scan ys would copy the whole
+    cache per decode step)."""
     b, s, d = x.shape
     h = cfg.n_heads
     hd = d // h
@@ -97,7 +97,7 @@ def _mpt_layer(
     k = qkv[..., d : d + n_kv * hd].reshape(b, s, n_kv, hd)
     v = qkv[..., d + n_kv * hd :].reshape(b, s, n_kv, hd)
 
-    if k_cache is None:
+    if kv_cache is None:
         if (
             mask is None
             and jax.default_backend() == "tpu"
@@ -121,26 +121,24 @@ def _mpt_layer(
             )
     else:
         if s > 1:
-            # contiguous right-padded prefill: one dus (see llama.py note)
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype)[None], (layer, 0, 0, 0, 0)
-            )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype)[None], (layer, 0, 0, 0, 0)
+            # contiguous right-padded prefill: one dus writes the K/V pair
+            # (see llama.py note)
+            kv_cache = jax.lax.dynamic_update_slice(
+                kv_cache,
+                jnp.stack([k, v], axis=0).astype(kv_cache.dtype)[None],
+                (layer, 0, 0, 0, 0, 0),
             )
             out = dot_product_attention(
                 q, k, v, causal=True, bias_k=bias[:, :s]
             )
         else:
+            # ONE scatter writes both K and V rows (llama.py KVCache note)
             batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
-            k_cache = k_cache.at[layer, batch_idx, write_slots].set(
-                k.astype(k_cache.dtype)
+            kv_cache = kv_cache.at[layer, :, batch_idx, write_slots].set(
+                jnp.stack([k, v], axis=2).astype(kv_cache.dtype)
             )
-            v_cache = v_cache.at[layer, batch_idx, write_slots].set(
-                v.astype(v_cache.dtype)
-            )
-            kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
-            vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+            slab = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
+            kl, vl = slab[0], slab[1]
             t_max = kl.shape[1]
             slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, t_max), 2)
             dec_mask = slot_ids <= q_slots[:, :, None]
@@ -154,7 +152,7 @@ def _mpt_layer(
 
     y = _ln(x, lp["norm2"])
     y = _dense(jax.nn.gelu(_dense(y, lp["up_proj"]), approximate=False), lp["down_proj"])
-    return x + y, k_cache, v_cache
+    return x + y, kv_cache
 
 
 def mpt_forward(
@@ -192,8 +190,8 @@ def mpt_forward(
             from teochat_tpu.parallel.pipeline import pipelined_scan_blocks
 
             def block_fn(xc, lp, mask_b):
-                y, _, _ = _mpt_layer(
-                    xc, lp, cfg, bias, mask_b, None, None, None, None
+                y, _ = _mpt_layer(
+                    xc, lp, cfg, bias, mask_b, None, None, None
                 )
                 return y
 
@@ -204,29 +202,29 @@ def mpt_forward(
             )
         else:
             def body(carry, lp):
-                y, _, _ = _mpt_layer(
-                    carry, lp, cfg, bias, attention_mask, None, None, None, None
+                y, _ = _mpt_layer(
+                    carry, lp, cfg, bias, attention_mask, None, None, None
                 )
                 return y, None
 
             x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
-        n_layers = cache.k.shape[0]
+        n_layers = cache.kv.shape[0]
 
         def body(l, carry):
-            y, kc, vc = carry
+            y, kvc = carry
             lp = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
                 params["layers"],
             )
-            y, kc, vc = _mpt_layer(
-                y, lp, cfg, bias, kv_mask, kc, vc, write_slots, q_slots, l
+            y, kvc = _mpt_layer(
+                y, lp, cfg, bias, kv_mask, kvc, write_slots, q_slots, l
             )
-            return (y, kc, vc)
+            return (y, kvc)
 
-        x, nk, nv = jax.lax.fori_loop(0, n_layers, body, (x, cache.k, cache.v))
-        new_cache = KVCache(k=nk, v=nv)
+        x, nkv = jax.lax.fori_loop(0, n_layers, body, (x, cache.kv))
+        new_cache = KVCache(kv=nkv)
 
     x = _ln(x, params["final_norm"])
     if logits_mode == "none":
