@@ -164,8 +164,8 @@ def batch_spec(train: bool = False) -> P:
 
 
 def cache_spec() -> P:
-    """KV cache [L, B, T, H_kv, D]: batch on data, kv heads on model."""
-    return P(None, "data", None, "model", None)
+    """KV cache [L, 2, B, T, H_kv, D]: batch on data, kv heads on model."""
+    return P(None, None, "data", None, "model", None)
 
 
 def constrain(x, mesh: Mesh, spec: P):
