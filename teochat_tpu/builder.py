@@ -119,6 +119,96 @@ def _strip_prefix(sd: Dict[str, Any], prefixes=("base_model.model.",)) -> Dict[s
     return out
 
 
+def initialize_vision_modules(
+    model_args,
+    cfg: TEOChatConfig,
+    params: Dict[str, Any],
+    *,
+    rng: Optional[jax.Array] = None,
+    dtype=jnp.bfloat16,
+) -> Tuple[TEOChatConfig, Dict[str, Any]]:
+    """Attach the vision tower + projector to a partially-loaded model.
+
+    Parity with reference llava_arch.py:51-140 `initialize_vision_modules`
+    (invoked by train.py:980 after loading the plain LM): record the
+    tower/projector choices on the model config (mm_projector_type,
+    mm_vision_select_layer/feature, mm_hidden_size — llava_arch.py:96-110),
+    load tower weights from `model_args.image_tower` (a local HF checkpoint
+    dir), and build the projector fresh or from
+    `model_args.pretrain_mm_mlp_adapter` (llava_arch.py:120-133 `get_w`).
+    The functional equivalent of torch module attachment is returning a new
+    (cfg, params) pair with the `vision` / `projector` subtrees filled;
+    subtrees already present (a full checkpoint) are kept as-is.
+    """
+    import dataclasses
+
+    tower = getattr(model_args, "image_tower", None) or getattr(
+        model_args, "video_tower", None
+    )
+    params = dict(params)
+    if "vision" not in params:
+        if tower is None or not os.path.isdir(tower):
+            raise FileNotFoundError(
+                f"vision tower weights not in the checkpoint and --image_tower "
+                f"({tower!r}) is not a local directory; hub downloads are not "
+                f"attempted (egress-free deployment)"
+            )
+        # tower geometry comes from the tower's OWN config.json, like the
+        # reference's build_image_tower from_pretrained (clip_encoder.py)
+        tower_cfg_file = os.path.join(tower, "config.json")
+        if os.path.exists(tower_cfg_file):
+            from teochat_tpu.config import vision_config_from_hf
+
+            with open(tower_cfg_file) as f:
+                tower_hf = json.load(f)
+            cfg = dataclasses.replace(
+                cfg,
+                vision=vision_config_from_hf(
+                    tower_hf.get("vision_config", tower_hf)
+                ),
+            )
+        vsd = _load_state_dict(tower)
+        vision_params = convert_hf.convert_clip_vision(vsd, cfg.vision)
+        params["vision"] = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype), vision_params
+        )
+
+    proj_cfg = dataclasses.replace(
+        cfg.projector,
+        projector_type=getattr(
+            model_args, "mm_projector_type", cfg.projector.projector_type
+        ),
+        mm_hidden_size=cfg.vision.hidden_size,  # llava_arch.py:102-110
+        hidden_size=cfg.llm.hidden_size,
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        projector=proj_cfg,
+        mm_vision_select_layer=model_args.mm_vision_select_layer,
+        mm_vision_select_feature=getattr(
+            model_args, "mm_vision_select_feature", "patch"
+        ),
+    )
+    if "projector" not in params:
+        if getattr(model_args, "pretrain_mm_mlp_adapter", None):
+            pw = _load_torch_file(model_args.pretrain_mm_mlp_adapter)
+            proj_keys = {k: v for k, v in pw.items() if "mm_projector" in k}
+            proj_params = convert_hf.convert_projector(proj_keys, proj_cfg)
+        else:
+            from teochat_tpu.models.projector import init_projector
+
+            proj_params = init_projector(
+                rng if rng is not None else jax.random.PRNGKey(0), proj_cfg
+            )
+        params["projector"] = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype), proj_params
+        )
+    # the reference re-enables projector grads here (llava_arch.py:115-118,
+    # "In case it is frozen by LoRA"); functionally that's the train driver's
+    # trainable_filter (train/train.py), not a param mutation.
+    return cfg, params
+
+
 def load_pretrained_model(
     model_path: str,
     model_base: Optional[str] = None,
@@ -129,9 +219,17 @@ def load_pretrained_model(
     device: Optional[str] = None,
     cache_dir: Optional[str] = None,
     vision_path: Optional[str] = None,
+    allow_partial: bool = False,
     **kwargs,
 ) -> Tuple[Any, TEOChat, Dict[str, ImageProcessor], int]:
-    """Load tokenizer + TEOChat model + processors (reference builder.py:27)."""
+    """Load tokenizer + TEOChat model + processors (reference builder.py:27).
+
+    allow_partial=True mirrors the reference's train-time flow (train.py:961
+    loads the plain LM, then llava_arch.py:51 initialize_vision_modules
+    attaches the tower/projector): a checkpoint without mm_projector or
+    vision-tower weights loads anyway, with those subtrees absent from
+    `model.params` — the caller fills them via `initialize_vision_modules`.
+    """
     if model_name is None:
         from teochat_tpu.mm_utils import get_model_name_from_path
 
@@ -209,9 +307,11 @@ def load_pretrained_model(
         if os.path.exists(proj_file):
             proj_keys = _load_torch_file(proj_file)
 
-    if not proj_keys:
+    if not proj_keys and not allow_partial:
         raise ValueError(f"no mm_projector weights found for {model_path}")
-    proj_params = convert_hf.convert_projector(proj_keys, cfg.projector)
+    proj_params = (
+        convert_hf.convert_projector(proj_keys, cfg.projector) if proj_keys else None
+    )
 
     # vision tower: separate dir (LanguageBind_Image layout) or embedded weights
     vt_keys = {k: v for k, v in sd.items() if "image_tower" in k or "vision_model" in k}
@@ -225,6 +325,8 @@ def load_pretrained_model(
         vision_params = convert_hf.convert_clip_vision(
             vt_keys, cfg.vision, prefix=prefix + "vision_model."
         )
+    elif allow_partial:
+        vision_params = None
     else:
         raise FileNotFoundError(
             "vision tower weights not found; pass vision_path pointing at a "
@@ -252,8 +354,9 @@ def load_pretrained_model(
 
     dtype = jnp.bfloat16
     params = {
-        "vision": jax.tree.map(lambda x: jnp.asarray(x, dtype), vision_params),
-        "projector": jax.tree.map(lambda x: jnp.asarray(x, dtype), proj_params),
+        k: jax.tree.map(lambda x: jnp.asarray(x, dtype), v)
+        for k, v in (("vision", vision_params), ("projector", proj_params))
+        if v is not None
     }
     if load_8bit or load_int4:
         from teochat_tpu.ops.quant import (
@@ -276,6 +379,10 @@ def load_pretrained_model(
         params["llm"] = jax.tree.map(lambda x: jnp.asarray(x, dtype), llm_params)
 
     model = TEOChat(cfg, params, tokenizer=tokenizer)
-    processor = {"image": ImageProcessor(), "video": ImageProcessor()}
+    # processor geometry follows the tower (224 in production; tiny in tests)
+    processor = {
+        "image": ImageProcessor(size=cfg.vision.image_size),
+        "video": ImageProcessor(size=cfg.vision.image_size),
+    }
     context_len = cfg.max_sequence_length
     return tokenizer, model, processor, context_len

@@ -46,7 +46,11 @@ class DataArguments:
     """Reference DataArguments (train.py:79-100) minus torch coupling."""
 
     data_name: str = "jirvin16/TEOChatlas"
+    data_split: str = "train"
     data_cache_dir: Optional[str] = None
+    # reference train.py:69 — accepted for flag parity; this dataset is
+    # always lazy (samples are tokenized/preprocessed in __getitem__)
+    lazy_preprocess: bool = True
     is_multimodal: bool = True
     image_aspect_ratio: Optional[str] = None
     prompt_strategy: Optional[str] = "interleave"
@@ -286,7 +290,8 @@ class LazySupervisedDataset:
             from datasets import load_dataset
 
             dataset = load_dataset(
-                data_args.data_name, split="train", cache_dir=data_args.data_cache_dir
+                data_args.data_name, split=data_args.data_split,
+                cache_dir=data_args.data_cache_dir,
             )
         self.list_data_dict = dataset
 
@@ -306,63 +311,75 @@ class LazySupervisedDataset:
         return [proc.preprocess(f)["pixel_values"][0] for f in files]
 
     def __getitem__(self, i: int) -> Dict:
-        try:
-            sample = self.list_data_dict[i]
-            sources = [sample]
-            image: List[np.ndarray] = []
+        # data-error tolerance (reference :835-837) — iterative resample with
+        # a cap instead of the reference's unbounded recursion, so a fully
+        # broken dataset raises instead of hitting the recursion limit
+        last_err: Optional[Exception] = None
+        for _ in range(64):
+            try:
+                return self._get_one(i)
+            except Exception as e:
+                print(f"Error with {e}")
+                last_err = e
+                i = random.randint(0, len(self) - 1)
+        raise RuntimeError(
+            f"64 consecutive sample loads failed; dataset looks broken"
+        ) from last_err
 
-            if "video" in sample and sample["video"] is not None:
-                image_files = sample["video"]
-                if not isinstance(image_files, list):
-                    raise ValueError("Found single image but list of images expected")
-                image_files, indices = order_pick_k(image_files, MAX_IMAGE_LENGTH)
-                timestamps = sample.get("timestamp") or []
-                if len(timestamps) > 0:
-                    if indices is not None:
-                        timestamps = [timestamps[j] for j in indices]
-                    image_files, timestamps = zip(
-                        *sorted(
-                            zip(image_files, timestamps),
-                            key=lambda t: datetime.strptime(t[1], "%Y-%m-%d"),
-                        )
+    def _get_one(self, i: int) -> Dict:
+        sample = self.list_data_dict[i]
+        sources = [sample]
+        image: List[np.ndarray] = []
+
+        if "video" in sample and sample["video"] is not None:
+            image_files = sample["video"]
+            if not isinstance(image_files, list):
+                raise ValueError("Found single image but list of images expected")
+            image_files, indices = order_pick_k(image_files, MAX_IMAGE_LENGTH)
+            timestamps = sample.get("timestamp") or []
+            if len(timestamps) > 0:
+                if indices is not None:
+                    timestamps = [timestamps[j] for j in indices]
+                image_files, timestamps = zip(
+                    *sorted(
+                        zip(image_files, timestamps),
+                        key=lambda t: datetime.strptime(t[1], "%Y-%m-%d"),
                     )
-                image = self._load_frames(list(image_files))
-                srcs = preprocess_multimodal(
-                    copy.deepcopy([e["conversations"] for e in sources]),
-                    self.data_args,
-                    len(image),
                 )
-                data_dict = preprocess(srcs, self.tokenizer, has_image=True)
-            elif "image" in sample and sample["image"] is not None:
-                image_files = sample["image"]
-                if not isinstance(image_files, list):
-                    image_files = [image_files]
-                image_files, _ = order_pick_k(image_files, MAX_IMAGE_LENGTH)
-                image = self._load_frames(image_files)
-                srcs = preprocess_multimodal(
-                    copy.deepcopy([e["conversations"] for e in sources]),
-                    self.data_args,
-                    1,
-                )
-                data_dict = preprocess(srcs, self.tokenizer, has_image=True)
-            else:
-                srcs = copy.deepcopy([e["conversations"] for e in sources])
-                data_dict = preprocess(srcs, self.tokenizer, has_image=False)
+            image = self._load_frames(list(image_files))
+            srcs = preprocess_multimodal(
+                copy.deepcopy([e["conversations"] for e in sources]),
+                self.data_args,
+                len(image),
+            )
+            data_dict = preprocess(srcs, self.tokenizer, has_image=True)
+        elif "image" in sample and sample["image"] is not None:
+            image_files = sample["image"]
+            if not isinstance(image_files, list):
+                image_files = [image_files]
+            image_files, _ = order_pick_k(image_files, MAX_IMAGE_LENGTH)
+            image = self._load_frames(image_files)
+            srcs = preprocess_multimodal(
+                copy.deepcopy([e["conversations"] for e in sources]),
+                self.data_args,
+                1,
+            )
+            data_dict = preprocess(srcs, self.tokenizer, has_image=True)
+        else:
+            srcs = copy.deepcopy([e["conversations"] for e in sources])
+            data_dict = preprocess(srcs, self.tokenizer, has_image=False)
 
-            out = dict(input_ids=data_dict["input_ids"][0], labels=data_dict["labels"][0])
-            if image:
-                out["image"] = image
-            # Text-only samples contribute NO frames. The reference appends a
-            # dummy zeros image per text-only row (train.py:826-834) because
-            # DeepSpeed hangs if the tower gets no gradient; its fusion then
-            # consumes one image per imageless row (llava_arch.py:263). Under
-            # jit neither hack is needed — the flat frame list contains exactly
-            # the sentinel-consumed frames, so build_fusion_plan's cursor
-            # (advance per sentinel) stays aligned in mixed text+image batches.
-            return out
-        except Exception as e:  # data-error tolerance (reference :835-837)
-            print(f"Error with {e}")
-            return self[random.randint(0, len(self) - 1)]
+        out = dict(input_ids=data_dict["input_ids"][0], labels=data_dict["labels"][0])
+        if image:
+            out["image"] = image
+        # Text-only samples contribute NO frames. The reference appends a
+        # dummy zeros image per text-only row (train.py:826-834) because
+        # DeepSpeed hangs if the tower gets no gradient; its fusion then
+        # consumes one image per imageless row (llava_arch.py:263). Under
+        # jit neither hack is needed — the flat frame list contains exactly
+        # the sentinel-consumed frames, so build_fusion_plan's cursor
+        # (advance per sentinel) stays aligned in mixed text+image batches.
+        return out
 
 
 @dataclass

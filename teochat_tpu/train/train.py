@@ -57,6 +57,11 @@ class ModelArguments:
     freeze_backbone: bool = True
     tune_mm_mlp_adapter: bool = False
     freeze_mm_mlp_adapter: bool = False
+    # reference train.py:62-64: tower checkpoints attached via
+    # initialize_vision_modules when the base LM lacks them (local dirs here)
+    image_tower: Optional[str] = None
+    video_tower: Optional[str] = None
+    mm_projector_type: str = "linear"  # train_teochat.sh:14 passes mlp2x_gelu
     mm_vision_select_layer: int = -2
     mm_vision_select_feature: str = "patch"
     pretrain_mm_mlp_adapter: Optional[str] = None
@@ -95,6 +100,27 @@ class TrainingArguments:
     # microbatches per pipeline step when mesh.pipe > 1 (None = stage count)
     pipeline_microbatches: Optional[int] = None
     report_to: str = "tensorboard"
+    # HF TrainingArguments surface the reference recipe sets
+    # (train_teochat.sh:25-39); wired where meaningful, accepted-and-inert
+    # where the concept doesn't exist on TPU (tf32: bf16 matmuls are the
+    # default; optim: AdamW is the only optimizer, matching adamw_torch).
+    lr_scheduler_type: str = "cosine"
+    model_max_length: Optional[int] = None  # caps cfg.max_sequence_length
+    tokenizer_model_max_length: Optional[int] = None  # caps tokenization len
+    dataloader_num_workers: int = 0  # >0 -> threaded host-side prefetch
+    per_device_eval_batch_size: int = 1
+    evaluation_strategy: str = "no"  # reference recipe never evals in-loop
+    save_strategy: str = "steps"  # "no" disables periodic checkpoints
+    tf32: bool = True
+    optim: str = "adamw_torch"
+    cache_dir: Optional[str] = None
+    # bitsandbytes knobs (reference train.py:103-115): TPU int8/int4 paths
+    # replace nf4/double-quant; values recorded for config parity only
+    double_quant: bool = True
+    quant_type: str = "nf4"
+    lora_weight_path: str = ""
+    lora_bias: str = "none"
+    mpt_attn_impl: str = "triton"  # MPT runs the flash/XLA path here
 
 
 def _batches(dataset, collator, sampler: Iterable[int], batch_size: int,
@@ -114,6 +140,36 @@ def _batches(dataset, collator, sampler: Iterable[int], batch_size: int,
                 yield collator([dataset[i] for i in buf])
             chunk_i += 1
             buf = []
+
+
+def _prefetch(gen, depth: int):
+    """Background-thread batch prefetch (reference --dataloader_num_workers,
+    train_teochat.sh:39). Collation is host-side numpy work; one thread
+    filling a bounded queue overlaps it with the device step — more threads
+    buy nothing because __getitem__ already releases the GIL only in cv2/PIL.
+    Exceptions re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surfaced in the training loop
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def _prune_checkpoints(output_dir: str, keep: int) -> None:
@@ -148,14 +204,47 @@ def train(
     set_default_conversation(model_args.version)
 
     if params is None or cfg is None:
-        from teochat_tpu.builder import load_pretrained_model
+        from teochat_tpu.builder import (
+            initialize_vision_modules,
+            load_pretrained_model,
+        )
 
+        # reference flow (train.py:961-988): load the LM (which may lack the
+        # tower/projector), then attach them from --image_tower /
+        # --pretrain_mm_mlp_adapter via initialize_vision_modules.
         tokenizer, model, processors, _ = load_pretrained_model(
             model_args.model_name_or_path,
             load_8bit=(training_args.bits == 8),
+            cache_dir=training_args.cache_dir,
+            allow_partial=True,
         )
         cfg, params = model.cfg, model.params
+        if "vision" not in params or "projector" not in params:
+            cfg, params = initialize_vision_modules(
+                model_args, cfg, params,
+                rng=jax.random.PRNGKey(training_args.seed),
+            )
+            # the attached tower may change the input geometry
+            from teochat_tpu.data.processing import ImageProcessor
+
+            processors = {
+                k: ImageProcessor(size=cfg.vision.image_size)
+                for k in processors
+            }
         data_args.image_processor = processors["image"]
+
+    # sequence-length caps (train_teochat.sh:37): model_max_length bounds the
+    # forward, tokenizer_model_max_length bounds tokenization/truncation
+    if training_args.model_max_length or training_args.tokenizer_model_max_length:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            max_sequence_length=training_args.model_max_length
+            or cfg.max_sequence_length,
+            tokenizer_model_max_length=training_args.tokenizer_model_max_length
+            or cfg.tokenizer_model_max_length,
+        )
 
     # vision-tokenizer machinery (reference llava_arch.py:348-391 via
     # train.py:1083-1086): add special tokens, mean-init-resize embeddings,
@@ -235,6 +324,7 @@ def train(
         warmup_ratio=training_args.warmup_ratio,
         total_steps=total_steps,
         weight_decay=training_args.weight_decay,
+        lr_scheduler_type=training_args.lr_scheduler_type,
     )
     if accum > 1:
         # reference recipe: --gradient_accumulation_steps 8
@@ -353,12 +443,17 @@ def train(
         micro = 0
         t0 = time.time()
         for epoch in range(training_args.num_train_epochs):
-            for plan, pixels in _batches(
+            batch_stream = _batches(
                 train_dataset, collator, sampler,
                 training_args.per_device_train_batch_size,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
-            ):
+            )
+            if training_args.dataloader_num_workers > 0:
+                batch_stream = _prefetch(
+                    batch_stream, depth=training_args.dataloader_num_workers
+                )
+            for plan, pixels in batch_stream:
                 if step >= total_steps:
                     break
                 pixels = jnp.asarray(
@@ -378,7 +473,10 @@ def train(
                     if writer is not None:
                         writer.add_scalar("train/loss", loss_v, step)
                     t0 = time.time()
-                if step % training_args.save_steps == 0:
+                if (
+                    training_args.save_strategy != "no"
+                    and step % training_args.save_steps == 0
+                ):
                     save_checkpoint(
                         training_args.output_dir, state.params, cfg,
                         opt_state=state.opt_state, step=step,

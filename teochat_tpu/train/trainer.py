@@ -65,16 +65,39 @@ def make_optimizer(
     weight_decay: float = 0.0,
     b1: float = 0.9,
     b2: float = 0.999,
+    lr_scheduler_type: str = "cosine",
 ) -> optax.GradientTransformation:
-    """AdamW + cosine schedule + warmup (reference train_teochat.sh:31-34), with
-    the separate mm_projector learning-rate group (llava_trainer.py:150-237)."""
+    """AdamW + warmup + decay schedule (reference train_teochat.sh:31-34,
+    --lr_scheduler_type cosine), with the separate mm_projector learning-rate
+    group (llava_trainer.py:150-237). Scheduler names follow HF SchedulerType:
+    cosine | linear | constant | constant_with_warmup."""
 
     def schedule(lr):
         warmup = max(int(total_steps * warmup_ratio), 1)
-        return optax.warmup_cosine_decay_schedule(
-            init_value=0.0, peak_value=lr, warmup_steps=warmup,
-            decay_steps=total_steps, end_value=0.0,
-        )
+        if lr_scheduler_type == "cosine":
+            return optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=lr, warmup_steps=warmup,
+                decay_steps=total_steps, end_value=0.0,
+            )
+        if lr_scheduler_type == "linear":
+            return optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, lr, warmup),
+                    optax.linear_schedule(
+                        lr, 0.0, max(total_steps - warmup, 1)
+                    ),
+                ],
+                [warmup],
+            )
+        if lr_scheduler_type == "constant":
+            return optax.constant_schedule(lr)
+        if lr_scheduler_type == "constant_with_warmup":
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup),
+                 optax.constant_schedule(lr)],
+                [warmup],
+            )
+        raise ValueError(f"unsupported lr_scheduler_type: {lr_scheduler_type}")
 
     base = optax.adamw(schedule(learning_rate), b1=b1, b2=b2, weight_decay=weight_decay)
     if projector_lr is None:

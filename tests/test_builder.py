@@ -250,3 +250,110 @@ def test_load_int4_quantizes_decoder(ckpt_dir):
         [[1, 5, 9]], None,
     )
     assert len(out[0]) >= 0
+
+
+def test_allow_partial_and_initialize_vision_modules(tmp_path):
+    """Reference train-time flow (train.py:961 + llava_arch.py:51): load a
+    plain LM with allow_partial, then attach tower + projector via
+    initialize_vision_modules from --image_tower / --pretrain_mm_mlp_adapter."""
+    from types import SimpleNamespace
+
+    from teochat_tpu import builder as builder_mod
+    from teochat_tpu.builder import initialize_vision_modules
+    from teochat_tpu.models.teochat import TEOChat
+
+    # plain-LM checkpoint: no projector, no vision, no mm config fields
+    lm_dir = tmp_path / "plain_lm"
+    lm_dir.mkdir()
+    cfg_json = _tiny_hf_config()
+    for k in ("mm_projector_type", "mm_hidden_size"):
+        cfg_json.pop(k)
+    with open(lm_dir / "config.json", "w") as f:
+        json.dump(cfg_json, f)
+    full_sd = _tiny_llama_sd()
+    lm_sd = {
+        k: v for k, v in full_sd.items()
+        if "mm_projector" not in k and "image_tower" not in k
+    }
+    torch.save(lm_sd, lm_dir / "pytorch_model.bin")
+    _write_tokenizer(str(lm_dir))
+
+    # tower checkpoint dir (LanguageBind_Image layout: vision_model.* keys)
+    tower_dir = tmp_path / "tower"
+    tower_dir.mkdir()
+    tower_sd = {
+        k.replace("model.image_tower.", ""): v
+        for k, v in full_sd.items() if "image_tower" in k
+    }
+    torch.save(tower_sd, tower_dir / "pytorch_model.bin")
+
+    # pretrained projector file (reference --pretrain_mm_mlp_adapter)
+    adapter = tmp_path / "mm_projector.bin"
+    torch.save(
+        {k: v for k, v in full_sd.items() if "mm_projector" in k}, adapter
+    )
+
+    orig = _patch_tiny_vision(None)
+    try:
+        tokenizer, model, _, _ = load_pretrained_model(
+            str(lm_dir), None, "plain-lm", allow_partial=True
+        )
+    finally:
+        builder_mod.load_config = orig
+    assert "vision" not in model.params and "projector" not in model.params
+
+    model_args = SimpleNamespace(
+        image_tower=str(tower_dir), video_tower=None,
+        mm_projector_type="mlp2x_gelu", mm_vision_select_layer=-2,
+        mm_vision_select_feature="patch",
+        pretrain_mm_mlp_adapter=str(adapter),
+    )
+    cfg2, params2 = initialize_vision_modules(model_args, model.cfg, model.params)
+    assert cfg2.projector.projector_type == "mlp2x_gelu"
+    assert cfg2.projector.mm_hidden_size == 16
+    assert "vision" in params2 and "projector" in params2
+    # pretrained projector rows actually loaded (not fresh-init)
+    p0 = np.asarray(params2["projector"]["layers"][0]["kernel"], np.float32)
+    np.testing.assert_allclose(
+        p0, full_sd["model.mm_projector.0.weight"].numpy().T, atol=2e-2
+    )
+    # the attached model runs end-to-end
+    out = TEOChat(cfg2, params2, tokenizer=tokenizer).generate(
+        [[1, 5, -200, 9]],
+        np.random.RandomState(0).randn(1, 3, 28, 28).astype(np.float32),
+    )
+    assert len(out[0]) > 0
+
+
+def test_initialize_vision_modules_fresh_projector(tmp_path):
+    """No pretrain adapter -> projector fresh-init (llava_arch.py:112-118)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from teochat_tpu.builder import initialize_vision_modules
+    from teochat_tpu.config import (
+        LlamaConfig, ProjectorConfig, TEOChatConfig, VisionConfig,
+    )
+
+    vis = VisionConfig(image_size=28, patch_size=14, hidden_size=16,
+                       intermediate_size=32, num_layers=1, num_heads=4)
+    cfg = TEOChatConfig(
+        vision=vis,
+        projector=ProjectorConfig(mm_hidden_size=16, hidden_size=32),
+        llm=LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_layers=2, num_heads=4, num_kv_heads=4),
+    )
+    from teochat_tpu.models.vit import init_vit
+
+    params = {"llm": {}, "vision": init_vit(jax.random.PRNGKey(0), vis)}
+    model_args = SimpleNamespace(
+        image_tower=None, video_tower=None, mm_projector_type="linear",
+        mm_vision_select_layer=-1, mm_vision_select_feature="cls_patch",
+        pretrain_mm_mlp_adapter=None,
+    )
+    cfg2, params2 = initialize_vision_modules(model_args, cfg, params)
+    assert cfg2.mm_vision_select_layer == -1
+    assert cfg2.mm_vision_select_feature == "cls_patch"
+    assert cfg2.projector.projector_type == "linear"
+    assert params2["projector"]["layers"][0]["kernel"].shape == (16, 32)

@@ -27,6 +27,102 @@ def test_train_cli_rejects_bad_bits():
         build_parser().parse_args(["--model_name_or_path", "x", "--bits", "4"])
 
 
+def test_train_cli_accepts_reference_script_verbatim():
+    """The argv of reference scripts/train_teochat.sh:4-45 parses unchanged."""
+    argv = (
+        "--bits 8 "
+        "--lora_enable True --lora_r 128 --lora_alpha 256 --mm_projector_lr 2e-5 "
+        "--deepspeed ./scripts/zero3_offload.json "
+        "--model_name_or_path LanguageBind/Video-LLaVA-7B "
+        "--version v1 "
+        "--data_name jirvin16/TEOChatlas "
+        "--data_split train "
+        "--image_tower LanguageBind/LanguageBind_Image "
+        "--freeze_backbone True "
+        "--freeze_mm_mlp_adapter False "
+        "--mm_projector_type mlp2x_gelu "
+        "--pretrain_mm_mlp_adapter /path/to/mm_projector.bin "
+        "--mm_vision_select_layer -2 "
+        "--mm_use_im_start_end False "
+        "--mm_use_im_patch_token False "
+        "--image_aspect_ratio square "
+        "--group_by_modality_length True "
+        "--bf16 True "
+        "--output_dir /tmp/out "
+        "--num_train_epochs 2 "
+        "--per_device_train_batch_size 1 "
+        "--per_device_eval_batch_size 1 "
+        '--evaluation_strategy no '
+        '--save_strategy steps '
+        "--save_steps 2000 "
+        "--save_total_limit 10 "
+        "--learning_rate 2e-5 "
+        "--weight_decay 0. "
+        "--warmup_ratio 0.03 "
+        '--lr_scheduler_type cosine '
+        "--logging_steps 1 "
+        "--tf32 True "
+        "--model_max_length 2048 --tokenizer_model_max_length 3072 "
+        "--gradient_checkpointing True "
+        "--dataloader_num_workers 8 "
+        "--video_as_image_list True "
+        "--prompt_strategy interleave "
+        "--chronological_prefix True "
+        "--lazy_preprocess True "
+        "--report_to wandb "
+        "--cache_dir cache_dir"
+    ).split()
+    args = build_parser().parse_args(argv)
+    assert args.bits == 8 and args.lora_enable and args.lora_r == 128
+    assert args.freeze_backbone and not args.freeze_mm_mlp_adapter
+    assert not args.mm_use_im_start_end and not args.mm_use_im_patch_token
+    assert args.mm_projector_type == "mlp2x_gelu"
+    assert args.image_tower == "LanguageBind/LanguageBind_Image"
+    assert args.model_max_length == 2048
+    assert args.tokenizer_model_max_length == 3072
+    assert args.dataloader_num_workers == 8
+    assert args.lr_scheduler_type == "cosine"
+    assert args.data_split == "train"
+    assert args.deepspeed == "./scripts/zero3_offload.json"
+
+
+def test_train_cli_bool_flags_bare_and_valued():
+    args = build_parser().parse_args(
+        ["--model_name_or_path", "x", "--tune_mm_mlp_adapter",
+         "--freeze_backbone", "False"]
+    )
+    assert args.tune_mm_mlp_adapter and not args.freeze_backbone
+
+
+def test_lr_scheduler_types():
+    import numpy as np
+
+    from teochat_tpu.train.trainer import make_optimizer
+
+    for sched in ("cosine", "linear", "constant", "constant_with_warmup"):
+        opt = make_optimizer(1e-4, total_steps=10, lr_scheduler_type=sched)
+        params = {"w": np.zeros(3, np.float32)}
+        state = opt.init(params)
+        opt.update({"w": np.ones(3, np.float32)}, state, params)
+    with pytest.raises(ValueError):
+        make_optimizer(1e-4, total_steps=10, lr_scheduler_type="nope")
+
+
+def test_prefetch_preserves_order_and_raises():
+    from teochat_tpu.train.train import _prefetch
+
+    assert list(_prefetch(iter(range(100)), depth=4)) == list(range(100))
+
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    out = _prefetch(bad(), depth=2)
+    assert next(out) == 1
+    with pytest.raises(RuntimeError):
+        next(out)
+
+
 def test_eval_cli_parses():
     from teochat_tpu.eval.eval import main as eval_main
 
