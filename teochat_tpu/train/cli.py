@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=2e-4)
     p.add_argument("--mm_projector_lr", type=float, default=2e-5)
     p.add_argument("--warmup_ratio", type=float, default=0.03)
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--lr_scheduler_type", type=str, default="cosine")
     p.add_argument("--logging_steps", type=int, default=10)
@@ -178,6 +180,8 @@ def main(argv=None):
         learning_rate=args.learning_rate,
         mm_projector_lr=args.mm_projector_lr,
         warmup_ratio=args.warmup_ratio,
+        warmup_steps=args.warmup_steps,
+        max_grad_norm=args.max_grad_norm,
         weight_decay=args.weight_decay,
         lr_scheduler_type=args.lr_scheduler_type,
         logging_steps=args.logging_steps,

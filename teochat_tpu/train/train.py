@@ -105,6 +105,8 @@ class TrainingArguments:
     # where the concept doesn't exist on TPU (tf32: bf16 matmuls are the
     # default; optim: AdamW is the only optimizer, matching adamw_torch).
     lr_scheduler_type: str = "cosine"
+    max_grad_norm: float = 1.0  # HF Trainer default; the reference trains with it
+    warmup_steps: int = 0  # >0 overrides warmup_ratio (HF semantics)
     model_max_length: Optional[int] = None  # caps cfg.max_sequence_length
     tokenizer_model_max_length: Optional[int] = None  # caps tokenization len
     dataloader_num_workers: int = 0  # >0 -> threaded host-side prefetch
@@ -325,6 +327,8 @@ def train(
         total_steps=total_steps,
         weight_decay=training_args.weight_decay,
         lr_scheduler_type=training_args.lr_scheduler_type,
+        max_grad_norm=training_args.max_grad_norm,
+        warmup_steps=training_args.warmup_steps,
     )
     if accum > 1:
         # reference recipe: --gradient_accumulation_steps 8

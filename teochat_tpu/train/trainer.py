@@ -66,14 +66,18 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     lr_scheduler_type: str = "cosine",
+    max_grad_norm: Optional[float] = 1.0,
+    warmup_steps: int = 0,
 ) -> optax.GradientTransformation:
     """AdamW + warmup + decay schedule (reference train_teochat.sh:31-34,
     --lr_scheduler_type cosine), with the separate mm_projector learning-rate
     group (llava_trainer.py:150-237). Scheduler names follow HF SchedulerType:
-    cosine | linear | constant | constant_with_warmup."""
+    cosine | linear | constant | constant_with_warmup. max_grad_norm=1.0 is
+    the HF Trainer default the reference trains under (global-norm clip before
+    Adam); warmup_steps > 0 overrides warmup_ratio (HF semantics)."""
 
     def schedule(lr):
-        warmup = max(int(total_steps * warmup_ratio), 1)
+        warmup = warmup_steps or max(int(total_steps * warmup_ratio), 1)
         if lr_scheduler_type == "cosine":
             return optax.warmup_cosine_decay_schedule(
                 init_value=0.0, peak_value=lr, warmup_steps=warmup,
@@ -99,9 +103,14 @@ def make_optimizer(
             )
         raise ValueError(f"unsupported lr_scheduler_type: {lr_scheduler_type}")
 
+    clip = (
+        [optax.clip_by_global_norm(max_grad_norm)]
+        if max_grad_norm and max_grad_norm > 0
+        else []
+    )
     base = optax.adamw(schedule(learning_rate), b1=b1, b2=b2, weight_decay=weight_decay)
     if projector_lr is None:
-        return base
+        return optax.chain(*clip, base)
     proj = optax.adamw(schedule(projector_lr), b1=b1, b2=b2, weight_decay=weight_decay)
 
     def label_fn(params):
@@ -112,7 +121,11 @@ def make_optimizer(
             params,
         )
 
-    return optax.multi_transform({"base": base, "projector": proj}, label_fn)
+    # clip on the FULL grad tree before the per-group transforms (HF clips
+    # the global norm across all parameter groups, llava_trainer inherits it)
+    return optax.chain(
+        *clip, optax.multi_transform({"base": base, "projector": proj}, label_fn)
+    )
 
 
 def init_train_state(

@@ -129,3 +129,54 @@ def test_eval_cli_parses():
     # unknown dataset propagates as ValueError after parsing succeeds
     with pytest.raises(ValueError):
         eval_main(["--dataset_name", "nope", "--model_path", "x"])
+
+
+def test_max_grad_norm_clips_update():
+    """HF Trainer clips grads at max_grad_norm=1.0 (reference trains under
+    it); a huge gradient must produce the same update as its normalized
+    counterpart."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from teochat_tpu.train.trainer import make_optimizer
+
+    params = {"w": jnp.zeros(4, jnp.float32)}
+    big = {"w": jnp.full(4, 1e6, jnp.float32)}
+    norm = float(jnp.sqrt(jnp.sum(big["w"] ** 2)))
+    scaled = {"w": big["w"] / norm}  # global-norm 1.0
+
+    opt = make_optimizer(1e-3, total_steps=10, max_grad_norm=1.0,
+                         warmup_steps=1, lr_scheduler_type="constant")
+    u_big, _ = opt.update(big, opt.init(params), params)
+    u_scaled, _ = opt.update(scaled, opt.init(params), params)
+    np.testing.assert_allclose(
+        np.asarray(u_big["w"]), np.asarray(u_scaled["w"]), rtol=1e-5
+    )
+
+    # and with the projector-lr group (clip wraps the multi_transform)
+    params2 = {"projector": {"w": jnp.zeros(4)}, "llm": {"w": jnp.zeros(4)}}
+    big2 = jax.tree.map(lambda x: jnp.full_like(x, 1e6), params2)
+    opt2 = make_optimizer(1e-3, projector_lr=1e-4, total_steps=10,
+                          max_grad_norm=1.0)
+    u2, _ = opt2.update(big2, opt2.init(params2), params2)
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(u2))
+
+
+def test_warmup_steps_overrides_ratio():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from teochat_tpu.train.trainer import make_optimizer
+
+    params = {"w": jnp.zeros(2, jnp.float32)}
+    g = {"w": jnp.ones(2, jnp.float32) * 1e-3}
+    # warmup_steps=1 -> step 0 already at ~0 LR, step 1 at peak for constant_with_warmup
+    opt = make_optimizer(1.0, total_steps=100, warmup_steps=2,
+                         lr_scheduler_type="constant_with_warmup",
+                         max_grad_norm=None)
+    state = opt.init(params)
+    u0, state = opt.update(g, state, params)
+    u1, state = opt.update(g, state, params)
+    # first update is scaled toward zero vs the second (warmup ramp)
+    assert np.abs(u0["w"]).max() < np.abs(u1["w"]).max()
