@@ -47,8 +47,9 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def _timeit(fn, iters, sync):
-    """Median-of-3 batches; sync() forces a scalar device->host fetch."""
+def _timeit(fn, iters, sync=lambda: None):
+    """Median-of-3 batches; sync() forces a scalar device->host fetch (host-
+    only phases pass no sync)."""
     fn()  # warmup / compile
     sync()
     times = []
@@ -553,7 +554,34 @@ def phase_e2e():
     return {"xbd_2frame_e2e_latency_s_32newtok": t}
 
 
+def phase_preprocess():
+    """Host-only: native C++ vs PIL image-preprocessing throughput (no TPU).
+    The input pipeline feeds the encode phase; frames/sec here bounds how many
+    512x640 satellite frames one host core can prepare."""
+    import numpy as np
+
+    from teochat_tpu import native
+    from teochat_tpu.data.processing import ImageProcessor
+
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 256, (512, 640, 3), np.uint8) for _ in range(64)]
+    pil_proc = ImageProcessor(use_native=False)
+
+    t_pil = _timeit(lambda: pil_proc.preprocess(frames), iters=3)
+    out = {"preprocess_pil_frames_per_sec": len(frames) / t_pil}
+    if native.available():
+        t_nat = _timeit(
+            lambda: native.preprocess_batch(
+                frames, 224, pil_proc.image_mean, pil_proc.image_std
+            ),
+            iters=3,
+        )
+        out["preprocess_native_frames_per_sec"] = len(frames) / t_nat
+    return out
+
+
 PHASES = {
+    "preprocess": phase_preprocess,
     "encode": phase_encode,
     "decode": phase_decode,
     "decode_bs8": phase_decode_bs8,
@@ -575,7 +603,7 @@ PHASES = {
 PHASE_ORDER = (
     "decode", "encode", "e2e", "serve", "train", "decode_int4",
     "ttft_int8act", "ttft_turn2", "decode_spec", "decode_bs8",
-    "decode_bs16", "decode_bs32",
+    "decode_bs16", "decode_bs32", "preprocess",
 )
 
 # Conservative warm-cache wall-clock estimates per phase (seconds), including
@@ -585,7 +613,7 @@ PHASE_EST_S = {
     "decode": 110, "encode": 70, "e2e": 80, "serve": 130, "train": 150,
     "decode_int4": 200, "ttft_int8act": 70, "ttft_turn2": 70,
     "decode_spec": 110, "decode_bs8": 100, "decode_bs16": 100,
-    "decode_bs32": 120,
+    "decode_bs32": 120, "preprocess": 25,
 }
 
 # Round 2 lesson (BENCH_r02.json rc=124/parsed=null): the 12-phase serial run
@@ -702,6 +730,12 @@ def _emit_final(results, statuses):
             "serve_aggregate_tokens_per_sec_8streams": round(
                 results.get("serve_aggregate_tokens_per_sec_8streams", 0.0), 1
             ),
+            "preprocess_native_frames_per_sec_host": round(
+                results.get("preprocess_native_frames_per_sec", 0.0), 1
+            ),
+            "preprocess_pil_frames_per_sec_host": round(
+                results.get("preprocess_pil_frames_per_sec", 0.0), 1
+            ),
             "phases": statuses,
         },
     }
@@ -710,9 +744,12 @@ def _emit_final(results, statuses):
 
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
-        import jax
+        if sys.argv[2] not in ("preprocess",):  # host-only phases skip the TPU
+            import jax
 
-        assert jax.default_backend() == "tpu", f"need tpu, got {jax.default_backend()}"
+            assert (
+                jax.default_backend() == "tpu"
+            ), f"need tpu, got {jax.default_backend()}"
         result = PHASES[sys.argv[2]]()
         print(json.dumps(result), flush=True)
         return
