@@ -308,6 +308,19 @@ class LazySupervisedDataset:
 
     def _load_frames(self, files) -> List[np.ndarray]:
         proc = self.data_args.image_processor
+        if self.data_args.image_aspect_ratio == "pad":
+            # reference train.py:724-725: square-pad with the CLIP mean color
+            # before the resize/crop pipeline
+            from teochat_tpu.mm_utils import expand2square
+
+            background = tuple(int(x * 255) for x in proc.image_mean)
+            frames = []
+            for f in files:
+                from teochat_tpu.data.processing import _to_pil
+
+                img = expand2square(_to_pil(f), background)
+                frames.append(proc.preprocess(img)["pixel_values"][0])
+            return frames
         return [proc.preprocess(f)["pixel_values"][0] for f in files]
 
     def __getitem__(self, i: int) -> Dict:

@@ -168,3 +168,38 @@ def test_modality_grouped_sampler():
     assert sorted(iter(sampler)) == list(range(8))
     with pytest.raises(ValueError):
         LengthGroupedSampler(2, 1, lengths=None)
+
+
+def test_load_frames_pad_aspect_ratio(tmp_path):
+    """image_aspect_ratio='pad' square-pads with the CLIP mean color before
+    resize (reference train.py:724-725) — a non-square frame padded to square
+    must differ from the unpadded pipeline and match mm_utils' pad path."""
+    import numpy as np
+    from PIL import Image
+
+    from teochat_tpu.data.dataset import DataArguments, LazySupervisedDataset
+    from teochat_tpu.data.processing import ImageProcessor
+    from teochat_tpu.mm_utils import expand2square
+
+    f = tmp_path / "rect.png"
+    arr = (np.random.RandomState(0).rand(40, 80, 3) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(f)
+
+    proc = ImageProcessor(size=28)
+    da_pad = DataArguments(image_aspect_ratio="pad", image_processor=proc)
+    da_sq = DataArguments(image_aspect_ratio="square", image_processor=proc)
+    ds_pad = LazySupervisedDataset.__new__(LazySupervisedDataset)
+    ds_pad.data_args = da_pad
+    ds_sq = LazySupervisedDataset.__new__(LazySupervisedDataset)
+    ds_sq.data_args = da_sq
+
+    out_pad = ds_pad._load_frames([str(f)])[0]
+    out_sq = ds_sq._load_frames([str(f)])[0]
+    assert out_pad.shape == out_sq.shape == (3, 28, 28)
+    assert np.abs(out_pad - out_sq).max() > 1e-3
+
+    background = tuple(int(x * 255) for x in proc.image_mean)
+    expected = proc.preprocess(
+        expand2square(Image.fromarray(arr), background)
+    )["pixel_values"][0]
+    np.testing.assert_array_equal(out_pad, expected)
