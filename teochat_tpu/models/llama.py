@@ -151,6 +151,8 @@ def _attention_layer(
     row_offset=0,
     act_quant: bool = False,
     spec_verify: bool = False,
+    prefill_start=0,
+    attend_cache: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Self-attention with optional KV cache.
 
@@ -163,6 +165,12 @@ def _attention_layer(
     scatter writes + masked attention against the cache) — the speculative-
     decoding verification path (models/generation.py), where the S tokens are
     a draft continuation rather than a fresh right-padded prompt.
+    `prefill_start` offsets the contiguous prefill panel write (chunked
+    prefill: chunk i lands at slots [start, start+S)); `attend_cache` makes
+    an S>1 prefill attend the cache slab (masked to slot <= q_slot) instead
+    of only its fresh K/V — required whenever earlier chunks committed
+    context below `prefill_start`. When the cache holds more rows than the
+    batch, rows [row_offset, row_offset+B) are sliced for the read.
     """
     b, s, _ = x.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -240,7 +248,7 @@ def _attention_layer(
             kv_cache = jax.lax.dynamic_update_slice(
                 kv_cache,
                 jnp.stack([k, v], axis=0).astype(kv_cache.dtype)[None],
-                (layer, 0, row_offset, 0, 0, 0),
+                (layer, 0, row_offset, prefill_start, 0, 0),
             )
         else:
             # decode / spec-verify: ONE scatter writes both K and V rows
@@ -250,7 +258,7 @@ def _attention_layer(
             kv_cache = kv_cache.at[layer, :, batch_idx, write_slots].set(
                 jnp.stack([k, v], axis=2).astype(kv_cache.dtype)
             )
-        if s > 1 and not spec_verify:
+        if s > 1 and not spec_verify and not attend_cache:
             # Prefill: right-padded fused prompts start at slot 0, so causal
             # attention over the FRESH k/v equals attention over the cache
             # (padded keys sit after every valid query) — O(S^2), and the
@@ -263,6 +271,10 @@ def _attention_layer(
             # roofline); only the scatter above writes.
             slab = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
             kl, vl = slab[0], slab[1]
+            if kl.shape[0] != b:
+                # per-slot chunked prefill: a B-row block over a wider cache
+                kl = jax.lax.dynamic_slice_in_dim(kl, row_offset, b, axis=0)
+                vl = jax.lax.dynamic_slice_in_dim(vl, row_offset, b, axis=0)
             if cfg.cache_sequence_axis is not None:
                 # Time-sharded cache (parallel/sharded_cache.py): each device
                 # attends over its resident T/n slots; partials combine with
@@ -302,7 +314,8 @@ def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False, layer=None) -> jnp
 
 def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, kv_cache,
                    write_slots, right_padded=False, layer=None, row_offset=0,
-                   spec_verify=False, act_quant_ok=True):
+                   spec_verify=False, act_quant_ok=True, prefill_start=0,
+                   attend_cache=False):
     # w8a8 projections on the compute-bound prefill only (s>1); decode is
     # bandwidth-bound and keeps bf16 activations. Speculative verify blocks
     # (s>1 but decode-like) pass act_quant_ok=False so the greedy targets
@@ -315,7 +328,8 @@ def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, kv_cache,
     y = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
     attn_out, kv_cache = _attention_layer(
         y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, kv_cache,
-        write_slots, right_padded, layer, row_offset, act_quant, spec_verify
+        write_slots, right_padded, layer, row_offset, act_quant, spec_verify,
+        prefill_start, attend_cache,
     )
     x = x + attn_out
     y = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
@@ -346,6 +360,8 @@ def llama_forward(
     cache_row_offset=0,
     spec_verify: bool = False,
     act_quant_ok: Optional[bool] = None,
+    prefill_start=0,
+    attend_cache: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -442,6 +458,7 @@ def llama_forward(
             y, kvc = layer_fn(
                 y, lp, cfg, cos, sin, kv_mask, q_slots, kvc, write_slots,
                 False, l, cache_row_offset, spec_verify, act_quant_ok,
+                prefill_start, attend_cache,
             )
             return (y, kvc)
 

@@ -118,6 +118,54 @@ def _prefill_slot(params, cache, state, cfg, plan, vision_tokens, slot,
     return tok, cache, state
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def _prefill_chunk_write(params, cache, cfg, emb, pos_ids, slot):
+    """Chunked prefill, non-final chunk: commit this chunk's K/V into cache
+    row `slot` at absolute slots pos_ids (contiguous panel write at
+    prefill_start), attending the row's committed cache (earlier chunks) —
+    no logits, no state. Bounds how long one long-prompt admission can stall
+    running decodes: the engine interleaves these with decode chunks."""
+    _, cache = llama_mod.llama_forward(
+        params, cfg, emb, position_ids=pos_ids, cache=cache,
+        write_slots=pos_ids, kv_mask=None, logits_mode="none",
+        cache_row_offset=slot, prefill_start=pos_ids[0, 0], attend_cache=True,
+    )
+    return cache
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
+def _prefill_slot_tail(params, cache, state, cfg, emb, pos_ids, seq_len,
+                       last_index, slot, temperature, do_sample, hist_row,
+                       hist_n):
+    """Chunked prefill, final chunk: commit K/V, take the prompt's last-token
+    logits (masked attention over all committed chunks), sample the first
+    token, and activate the slot — the chunked twin of _prefill_slot."""
+    logits, cache = llama_mod.llama_forward(
+        params, cfg, emb, position_ids=pos_ids, cache=cache,
+        write_slots=pos_ids, kv_mask=None, logits_mode="last",
+        last_index=last_index, cache_row_offset=slot,
+        prefill_start=pos_ids[0, 0], attend_cache=True,
+    )
+    step_rng, rng = jax.random.split(state["rng"])
+    tok = _sample_rows(logits[:, 0], step_rng, temperature, do_sample)
+    hist = state["hist"].at[slot].set(hist_row)
+    hist = hist.at[slot, hist_n].set(tok[0])
+    state = {
+        "last_tokens": state["last_tokens"].at[slot].set(tok[0]),
+        "positions": state["positions"].at[slot].set(seq_len),
+        "active": state["active"].at[slot].set(True),
+        "temperature": state["temperature"].at[slot].set(temperature[0]),
+        "do_sample": state["do_sample"].at[slot].set(do_sample[0]),
+        "hist": hist,
+        "hist_len": state["hist_len"].at[slot].set(hist_n + 1),
+        "rng": rng,
+    }
+    return tok, cache, state
+
+
+_fuse_embeds = jax.jit(teochat_mod.fuse_embeds)
+
+
 def _sample_rows(logits, rng, temperature, do_sample):
     """Per-row greedy/temperature sampling. temperature/do_sample: [B] arrays."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -333,6 +381,8 @@ class _Request:
     # streaming: new tokens are pushed per chunk; None terminates the stream
     stream_q: Optional["queue.Queue"] = None
     _streamed: int = 0
+    # chunked-prefill progress (None once fully prefilled / for short prompts)
+    pf: Optional[dict] = None
 
     def _push_stream(self, final: bool = False):
         if self.stream_q is None:
@@ -355,13 +405,19 @@ class BatchEngine:
 
     def __init__(self, model: teochat_mod.TEOChat, *, max_slots: int = 4,
                  max_len: int = 2048, chunk: int = 8, kv_dtype=None,
-                 speculative_k: int = 0):
+                 speculative_k: int = 0,
+                 prefill_chunk: Optional[int] = None):
         self.model = model
         self.cfg: TEOChatConfig = model.cfg
         self.max_slots = max_slots
         self.max_len = max_len
         self.chunk = chunk
         self.speculative_k = speculative_k
+        # chunked prefill: prompts longer than this many fused tokens commit
+        # their K/V in prefill_chunk-sized pieces, ONE piece per scheduling
+        # iteration, so a long admission stalls running decodes by at most
+        # one piece (vLLM-style chunked prefill). None = monolithic prefill.
+        self.prefill_chunk = prefill_chunk
         dtype = kv_dtype or model._dtype
         self.cache = llama_mod.init_cache(
             self.cfg.llm, max_slots, max_len, dtype=dtype
@@ -483,10 +539,20 @@ class BatchEngine:
     # are the chunk tokens and pending first tokens at the end.
     def _step_once(self, block: bool = False) -> bool:
         admitted = self._admit(block=block)
-        snapshot = list(self._slots)  # the slots THIS chunk decodes
-        if not any(r is not None for r in snapshot):
+        # the slots THIS chunk decodes: mid-prefill rows are captured as None
+        # (inactive in the device state at dispatch time, they emit pads —
+        # even if their prefill completes during the overlap zone below)
+        snapshot = [
+            r if (r is not None and r.pf is None) else None
+            for r in self._slots
+        ]
+        decoding = any(r is not None for r in snapshot)
+        if not decoding:
+            # nothing to decode between pieces -> run any in-progress chunked
+            # prefills to completion (no running stream to protect)
+            self._advance_prefills(drain=True)
             self._resolve_pending_first()
-            return admitted
+            return admitted or any(r is not None for r in self._slots)
         self.stats["max_concurrent"] = max(
             self.stats["max_concurrent"],
             sum(r is not None for r in snapshot),
@@ -494,8 +560,11 @@ class BatchEngine:
         chunk_out = self._dispatch_chunk()
         # overlap: encode/plan/prefill-dispatch for queued requests while the
         # chunk runs on device (their slots join the NEXT chunk; `snapshot`
-        # keeps this chunk's results off the newly admitted requests)
+        # keeps this chunk's results off the newly admitted requests).
+        # Chunked prefills advance ONE piece per decode chunk, bounding how
+        # long any admission can occupy the device between decode chunks.
         self._admit(block=False)
+        self._advance_prefills()
         self._resolve_pending_first()
         self._apply_chunk(snapshot, chunk_out)
         return True
@@ -553,6 +622,24 @@ class BatchEngine:
         row = np.full((self.max_len,), -1, np.int32)
         n = min(len(req.input_ids), self.max_len - 1)
         row[:n] = req.input_ids[:n]
+        if self.prefill_chunk is not None and fused_len > self.prefill_chunk:
+            # chunked prefill: fuse embeds once, then commit K/V one
+            # prefill_chunk piece per scheduling iteration (see _step_once)
+            c = self.prefill_chunk
+            nchunks = -(-fused_len // c)
+            embeds = _fuse_embeds(
+                model.params["llm"], plan, vision_tokens.astype(model._dtype)
+            )
+            total = nchunks * c
+            if embeds.shape[1] < total:
+                embeds = jnp.pad(embeds, ((0, 0), (0, total - embeds.shape[1]),
+                                          (0, 0)))
+            req.pf = {
+                "embeds": embeds[:, :total], "next": 0, "nchunks": nchunks,
+                "fused_len": fused_len, "hist_row": row, "hist_n": n,
+            }
+            self._advance_one_prefill(req, slot)
+            return
         tok, self.cache, self._state = _prefill_slot(
             model.params["llm"], self.cache, self._state, cfg.llm, plan,
             vision_tokens.astype(self.model._dtype),
@@ -562,6 +649,48 @@ class BatchEngine:
             jnp.asarray(row), jnp.asarray(n, jnp.int32),
         )
         self._pending_first.append((req, slot, tok))
+
+    def _advance_one_prefill(self, req: _Request, slot: int):
+        """Dispatch the next chunked-prefill piece for one request; the final
+        piece runs the tail program (first-token sample + slot activation)."""
+        pf = req.pf
+        c = self.prefill_chunk
+        i = pf["next"]
+        emb = pf["embeds"][:, i * c:(i + 1) * c]
+        pos = jnp.arange(i * c, (i + 1) * c, dtype=jnp.int32)[None, :]
+        if i < pf["nchunks"] - 1:
+            self.cache = _prefill_chunk_write(
+                self.model.params["llm"], self.cache, self.cfg.llm, emb, pos,
+                jnp.asarray(slot, jnp.int32),
+            )
+            pf["next"] = i + 1
+        else:
+            tok, self.cache, self._state = _prefill_slot_tail(
+                self.model.params["llm"], self.cache, self._state,
+                self.cfg.llm, emb, pos,
+                jnp.asarray(pf["fused_len"], jnp.int32),
+                jnp.asarray([pf["fused_len"] - 1 - i * c], jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray([req.gen.temperature], jnp.float32),
+                jnp.asarray([req.gen.do_sample], bool),
+                jnp.asarray(pf["hist_row"]),
+                jnp.asarray(pf["hist_n"], jnp.int32),
+            )
+            req.pf = None
+            self._pending_first.append((req, slot, tok))
+
+    def _advance_prefills(self, drain: bool = False):
+        """Advance every in-progress chunked prefill by one piece (or, when
+        nothing is decoding, all the way — no decode work to interleave)."""
+        progressed = True
+        while progressed:
+            progressed = False
+            for slot, req in enumerate(self._slots):
+                if req is not None and req.pf is not None:
+                    self._advance_one_prefill(req, slot)
+                    progressed = True
+            if not drain:
+                break
 
     def _resolve_pending_first(self):
         """Read deferred first tokens (blocks until their prefills finish)."""
@@ -612,9 +741,10 @@ class BatchEngine:
             slot_tokens = [list(map(int, toks[b])) for b in range(self.max_slots)]
         self.stats["chunks"] += 1
         for slot, req in enumerate(snapshot):
-            if req is None or req.event.is_set():
-                # empty slot, or the request finished at its first token
-                # before this chunk's results landed
+            if req is None or req.event.is_set() or req.pf is not None:
+                # empty slot, a request that finished at its first token
+                # before this chunk's results landed, or one still mid-way
+                # through a chunked prefill (its row emitted pads)
                 continue
             for t in slot_tokens[slot]:
                 if req.remaining <= 0:

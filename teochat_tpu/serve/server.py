@@ -328,6 +328,11 @@ def main(argv=None):
                    help="multiplex concurrent requests over per-request KV slots")
     p.add_argument("--max_slots", type=int, default=4)
     p.add_argument("--max_len", type=int, default=2048)
+    p.add_argument("--prefill_chunk", type=int, default=None,
+                   help="chunked prefill: commit long-prompt K/V in pieces of "
+                        "this many fused tokens, one piece per decode chunk, "
+                        "bounding admission stall on running streams "
+                        "(engine mode only; default monolithic)")
     p.add_argument("--speculative_k", type=int, default=0,
                    help="verify k prompt-lookup drafts per decode step "
                         "(engine mode only; greedy rows are token-exact, "
@@ -346,6 +351,7 @@ def main(argv=None):
         engine = BatchEngine(
             chat.model, max_slots=args.max_slots, max_len=args.max_len,
             speculative_k=args.speculative_k,
+            prefill_chunk=args.prefill_chunk,
         ).start()
     print(f"serving on {args.host}:{args.port}"
           + (" (continuous batching)" if engine else ""))

@@ -391,3 +391,84 @@ def test_engine_mixed_lengths_with_single_token_rows(model):
             assert results[i] == refs[i], f"request {i}"
     finally:
         engine.shutdown()
+
+
+def test_engine_chunked_prefill_matches_single(model):
+    """prefill_chunk splits long-prompt K/V commits into pieces interleaved
+    with decode chunks; greedy outputs stay EXACTLY those of the monolithic
+    engine and of TEOChat.generate."""
+    gen = GenerationConfig(max_new_tokens=6, temperature=0.0, do_sample=False,
+                           stop_strings=())
+    tpf = model.tokens_per_frame
+    rng = np.random.RandomState(3)
+    prompts = []
+    for i in range(3):
+        # long prompts: one frame + enough text to span several pieces
+        ids = [1, IMAGE_TOKEN_INDEX] + list(rng.randint(4, 100, 20 + 5 * i))
+        frames = rng.randn(1, 3, 28, 28).astype(np.float32)
+        prompts.append((ids, frames))
+    expected = [
+        model.generate([ids], frames, gen)[0] for ids, frames in prompts
+    ]
+
+    engine = BatchEngine(model, max_slots=4, max_len=96, chunk=2,
+                         prefill_chunk=8).start()
+    try:
+        results = [None] * len(prompts)
+        threads = []
+        for i, (ids, frames) in enumerate(prompts):
+            def run(i=i, ids=ids, frames=frames):
+                results[i] = engine.submit(ids, frames, gen)
+            t = threading.Thread(target=run)
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join(timeout=600)
+        assert all(r is not None for r in results)
+        for got, want in zip(results, expected):
+            assert got == want
+    finally:
+        engine.shutdown()
+
+
+def test_engine_chunked_prefill_mixed_with_short(model):
+    """A long chunked-prefill admission must not corrupt a short request
+    already decoding in another slot (and vice versa)."""
+    gen = GenerationConfig(max_new_tokens=8, temperature=0.0, do_sample=False,
+                           stop_strings=())
+    rng = np.random.RandomState(9)
+    short_ids = [1, 5, IMAGE_TOKEN_INDEX, 7, 8]
+    long_ids = [1, IMAGE_TOKEN_INDEX] + list(rng.randint(4, 100, 40))
+    frames_s = rng.randn(1, 3, 28, 28).astype(np.float32)
+    frames_l = rng.randn(1, 3, 28, 28).astype(np.float32)
+    want_short = model.generate([short_ids], frames_s, gen)[0]
+    want_long = model.generate([long_ids], frames_l, gen)[0]
+
+    engine = BatchEngine(model, max_slots=2, max_len=128, chunk=2,
+                         prefill_chunk=8).start()
+    try:
+        results = {}
+        def run(name, ids, frames):
+            results[name] = engine.submit(ids, frames, gen)
+        t1 = threading.Thread(target=run, args=("short", short_ids, frames_s))
+        t2 = threading.Thread(target=run, args=("long", long_ids, frames_l))
+        t1.start(); t2.start()
+        t1.join(timeout=600); t2.join(timeout=600)
+        assert results["short"] == want_short
+        assert results["long"] == want_long
+    finally:
+        engine.shutdown()
+
+
+def test_engine_chunked_prefill_short_prompt_uses_plain_path(model):
+    """Prompts at or below prefill_chunk take the monolithic program."""
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.0, do_sample=False,
+                           stop_strings=())
+    ids = [1, 5, 9]
+    want = model.generate([ids], None, gen)[0]
+    engine = BatchEngine(model, max_slots=2, max_len=64, chunk=2,
+                         prefill_chunk=64).start()
+    try:
+        assert engine.submit(ids, None, gen) == want
+    finally:
+        engine.shutdown()
