@@ -74,20 +74,32 @@ def _load_torch_file(path: str) -> Dict[str, Any]:
 
 def load_config(model_path: str) -> TEOChatConfig:
     """Build a TEOChatConfig from an HF config.json (reference fields:
-    mm_image_tower, mm_projector_type, mm_vision_select_layer, ...)."""
+    mm_image_tower, mm_projector_type, mm_vision_select_layer, ...).
+
+    Dispatches the LLM backend on the config shape: MPT/LlavaMPT configs
+    carry d_model/n_layers (reference configuration_mpt.py), LLaMA carries
+    hidden_size/num_hidden_layers."""
     with open(os.path.join(model_path, "config.json")) as f:
         hf = json.load(f)
-    llm = llama_config_from_hf(hf)
+    if "mpt" in str(hf.get("model_type", "")).lower() or "d_model" in hf:
+        from teochat_tpu.config import mpt_config_from_hf
+
+        llm = mpt_config_from_hf(hf)
+    else:
+        llm = llama_config_from_hf(hf)
     vision = VisionConfig()  # production tower geometry (LanguageBind ViT-L/14)
     projector = ProjectorConfig(
         projector_type=hf.get("mm_projector_type", "mlp2x_gelu"),
         mm_hidden_size=hf.get("mm_hidden_size", vision.hidden_size),
         hidden_size=llm.hidden_size,
     )
+    from teochat_tpu.config import MptConfig
+
     return TEOChatConfig(
         vision=vision,
         projector=projector,
         llm=llm,
+        llm_backend="mpt" if isinstance(llm, MptConfig) else "llama",
         mm_vision_select_layer=hf.get("mm_vision_select_layer", -2),
         mm_vision_select_feature=hf.get("mm_vision_select_feature", "patch"),
         mm_use_im_start_end=hf.get("mm_use_im_start_end", False),
@@ -117,6 +129,87 @@ def _strip_prefix(sd: Dict[str, Any], prefixes=("base_model.model.",)) -> Dict[s
                 break
         out[k] = v
     return out
+
+
+def _load_mpt_model(
+    model_path: str,
+    base_path: str,
+    *,
+    load_8bit: bool = False,
+    load_int4: bool = False,
+    vision_path: Optional[str] = None,
+) -> Tuple[Any, TEOChat, Dict[str, ImageProcessor], int]:
+    """LLaVA-MPT checkpoint load (reference builder.py:107-133 mpt branch):
+    transformer.* decoder weights -> models/mpt.py pytree, projector/tower
+    subtrees shared with the llama path, vision-token machinery applied to
+    the tied wte table."""
+    if load_8bit or load_int4:
+        raise NotImplementedError(
+            "int8/int4 quantization is wired for the llama backend; the MPT "
+            "backend loads bf16"
+        )
+    from teochat_tpu.models.mpt import convert_hf_mpt
+
+    cfg = load_config(model_path)
+    sd = _load_state_dict(base_path)
+    llm_params = convert_hf_mpt(sd, cfg.llm)
+
+    proj_keys = {
+        k.replace("transformer.mm_projector", "model.mm_projector"): v
+        for k, v in sd.items() if "mm_projector" in k
+    }
+    if not proj_keys:
+        raise ValueError(f"no mm_projector weights found for {model_path}")
+    proj_params = convert_hf.convert_projector(proj_keys, cfg.projector)
+
+    vt_keys = {k: v for k, v in sd.items() if "image_tower" in k or "vision_model" in k}
+    if vision_path is not None:
+        vsd = _load_state_dict(vision_path)
+        vision_params = convert_hf.convert_clip_vision(vsd, cfg.vision)
+    elif any("vision_model.encoder" in k for k in vt_keys):
+        prefix = next(
+            k.split("vision_model")[0] for k in vt_keys if "vision_model.encoder" in k
+        )
+        vision_params = convert_hf.convert_clip_vision(
+            vt_keys, cfg.vision, prefix=prefix + "vision_model."
+        )
+    else:
+        raise FileNotFoundError(
+            "vision tower weights not found; pass vision_path pointing at a "
+            "LanguageBind_Image checkpoint dir"
+        )
+
+    tokenizer = _load_tokenizer(model_path)
+    from teochat_tpu.vision_tokenizer import add_vision_tokens, resize_token_embeddings
+
+    add_vision_tokens(tokenizer, cfg.mm_use_im_patch_token, cfg.mm_use_im_start_end)
+    if len(tokenizer) != llm_params["wte"]["embedding"].shape[0]:
+        # resize the tied wte table through the shared helper (it operates on
+        # an "embed_tokens" key; MPT has no separate lm_head — tied embeddings)
+        shim = dict(llm_params)
+        shim["embed_tokens"] = shim.pop("wte")
+        shim = resize_token_embeddings(shim, len(tokenizer))
+        llm_params = dict(llm_params)
+        llm_params["wte"] = shim["embed_tokens"]
+    if cfg.llm.vocab_size != len(tokenizer):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, vocab_size=len(tokenizer))
+        )
+
+    dtype = jnp.bfloat16
+    params = {
+        "vision": jax.tree.map(lambda x: jnp.asarray(x, dtype), vision_params),
+        "projector": jax.tree.map(lambda x: jnp.asarray(x, dtype), proj_params),
+        "llm": jax.tree.map(lambda x: jnp.asarray(x, dtype), llm_params),
+    }
+    model = TEOChat(cfg, params, tokenizer=tokenizer)
+    processor = {
+        "image": ImageProcessor(size=cfg.vision.image_size),
+        "video": ImageProcessor(size=cfg.vision.image_size),
+    }
+    return tokenizer, model, processor, cfg.max_sequence_length
 
 
 def initialize_vision_modules(
@@ -238,6 +331,14 @@ def load_pretrained_model(
         raise NotImplementedError(
             "bitsandbytes nf4 is GPU-specific; use load_int4 (TPU-native packed "
             "w4a16) or load_8bit (int8 weight-only)"
+        )
+
+    if "mpt" in model_name.lower():
+        # LLaVA-MPT variant (reference builder.py:107-133, llava_mpt.py:45):
+        # merged single-path load; LoRA-dir MPT checkpoints were never shipped
+        return _load_mpt_model(
+            model_path, model_base or model_path,
+            load_8bit=load_8bit, load_int4=load_int4, vision_path=vision_path,
         )
 
     lora_path = None

@@ -154,10 +154,33 @@ class MptConfig:
     no_bias: bool = True
     learned_pos_emb: bool = False
     logit_scale: Optional[float] = None
+    # EleutherAI/gpt-neox-20b tokenizer (production MPT pairing): <|endoftext|>
+    eos_token_id: int = 0
+    pad_token_id: int = 0
     # pipeline parallelism over the stacked layer axis (parallel/pipeline.py),
     # same contract as LlamaConfig.pipeline_axis
     pipeline_axis: Optional[str] = None
     pipeline_microbatches: Optional[int] = None
+    # decode-time cache sequence sharding: not implemented for MPT (the ALiBi
+    # bias table would need per-shard offsets); kept for init_cache's contract
+    cache_sequence_axis: Optional[str] = None
+
+    # llama.init_cache / generation.py cache-contract aliases
+    @property
+    def num_layers(self) -> int:
+        return self.n_layers
+
+    @property
+    def num_kv_heads(self) -> int:
+        return 1 if self.attn_type == "multiquery_attention" else self.n_heads
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def hidden_size(self) -> int:
+        return self.d_model
 
 
 @dataclass(frozen=True)
@@ -272,6 +295,27 @@ def llama_config_from_hf(d: Dict[str, Any]) -> LlamaConfig:
         eos_token_id=d.get("eos_token_id", 2),
         pad_token_id=d.get("pad_token_id", 0) or 0,
         tie_word_embeddings=d.get("tie_word_embeddings", False),
+    )
+
+
+def mpt_config_from_hf(d: Dict[str, Any]) -> MptConfig:
+    """Import an HF MPT / LlavaMPT config.json dict (reference
+    configuration_mpt.py fields; attn_config nests the attention knobs)."""
+    attn = d.get("attn_config", {}) or {}
+    return MptConfig(
+        vocab_size=d["vocab_size"],
+        d_model=d["d_model"],
+        n_layers=d["n_layers"],
+        n_heads=d["n_heads"],
+        expansion_ratio=d.get("expansion_ratio", 4),
+        max_seq_len=d.get("max_seq_len", 2048),
+        alibi_bias_max=attn.get("alibi_bias_max", 8),
+        attn_type=attn.get("attn_type", "multihead_attention"),
+        no_bias=d.get("no_bias", True),
+        learned_pos_emb=d.get("learned_pos_emb", False),
+        logit_scale=d.get("logit_scale"),
+        eos_token_id=d.get("eos_token_id", 0) or 0,
+        pad_token_id=d.get("pad_token_id", 0) or 0,
     )
 
 

@@ -18,9 +18,42 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from teochat_tpu.config import LlamaConfig
+from teochat_tpu.config import LlamaConfig, MptConfig
 from teochat_tpu.models import llama as llama_mod
 from teochat_tpu.models.llama import KVCache
+
+
+# ------------------------------------------------------ backend dispatch
+#
+# The decode machinery (prefill + while_loop + stopping + sampling) is
+# backend-agnostic; only the embedding table and the decoder stack differ.
+# cfg's TYPE selects the backend (static under jit: configs are frozen
+# dataclasses) — the functional twin of the reference's LlavaLlama /
+# LlavaMPT class split (llava_llama.py:33-111, llava_mpt.py:45-109).
+
+def backend_embed(params, cfg, ids, dtype=None):
+    if isinstance(cfg, MptConfig):
+        from teochat_tpu.models import mpt as mpt_mod
+
+        return mpt_mod.mpt_embed(params, ids, dtype=dtype)
+    return llama_mod.embed_tokens(params, ids, dtype=dtype)
+
+
+def backend_forward(params, cfg, emb, *, position_ids, cache, write_slots,
+                    kv_mask, logits_mode, last_index=None):
+    """Cached-path decoder dispatch. MPT ignores position_ids (ALiBi)."""
+    if isinstance(cfg, MptConfig):
+        from teochat_tpu.models import mpt as mpt_mod
+
+        return mpt_mod.mpt_forward(
+            params, cfg, emb, cache=cache, write_slots=write_slots,
+            kv_mask=kv_mask, logits_mode=logits_mode, last_index=last_index,
+        )
+    return llama_mod.llama_forward(
+        params, cfg, emb, position_ids=position_ids, cache=cache,
+        write_slots=write_slots, kv_mask=kv_mask, logits_mode=logits_mode,
+        last_index=last_index,
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -155,7 +188,7 @@ def generate_tokens(
     slots = jnp.where(attention_mask, position_ids, trash)
     kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) < seq_lens[:, None]
     # prefill
-    logits, cache = llama_mod.llama_forward(
+    logits, cache = backend_forward(
         params, cfg, inputs_embeds,
         position_ids=position_ids, cache=cache, write_slots=slots,
         kv_mask=kv_mask,
@@ -199,8 +232,8 @@ def _run_decode_loop(params, cfg, cache, logits0, start_pos, stop, rng, *,
 
         pos = start_pos + step  # [B]
         kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) <= pos[:, None]
-        emb = llama_mod.embed_tokens(params, tok[:, None], dtype=emb_dtype)
-        logits, cache = llama_mod.llama_forward(
+        emb = backend_embed(params, cfg, tok[:, None], dtype=emb_dtype)
+        logits, cache = backend_forward(
             params, cfg, emb, position_ids=pos[:, None], cache=cache,
             write_slots=pos[:, None], kv_mask=kv_mask, logits_mode="last",
         )

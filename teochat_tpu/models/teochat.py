@@ -41,10 +41,18 @@ def round_to_bucket(n: int, buckets: Sequence[int]) -> int:
 
 def init_teochat(rng: jax.Array, cfg: TEOChatConfig, dtype=jnp.float32) -> Params:
     r1, r2, r3 = jax.random.split(rng, 3)
+    from teochat_tpu.config import MptConfig
+
+    if isinstance(cfg.llm, MptConfig):  # LLaVA-MPT variant (llava_mpt.py:45)
+        from teochat_tpu.models.mpt import init_mpt
+
+        llm = init_mpt(r3, cfg.llm, dtype)
+    else:
+        llm = llama_mod.init_llama(r3, cfg.llm, dtype)
     return {
         "vision": vit_mod.init_vit(r1, cfg.vision, dtype),
         "projector": proj_mod.init_projector(r2, cfg.projector, dtype),
-        "llm": llama_mod.init_llama(r3, cfg.llm, dtype),
+        "llm": llm,
     }
 
 
@@ -67,9 +75,15 @@ def fuse_embeds(
 ) -> jnp.ndarray:
     """Token embeddings + vision splice -> [B, L, D] (trace-time helper;
     shared by multimodal_embeds and the serving engine's fused prefill)."""
-    text_emb = llama_mod.embed_tokens(
-        llm_params, plan.text_ids, dtype=vision_tokens.dtype
-    )
+    # backend dispatch on the params layout: MPT uses a tied "wte" table
+    if "wte" in llm_params:
+        from teochat_tpu.models.mpt import mpt_embed
+
+        text_emb = mpt_embed(llm_params, plan.text_ids, dtype=vision_tokens.dtype)
+    else:
+        text_emb = llama_mod.embed_tokens(
+            llm_params, plan.text_ids, dtype=vision_tokens.dtype
+        )
     return fusion_mod.fuse(text_emb, vision_tokens, plan)
 
 
@@ -93,12 +107,26 @@ def forward_train(
     gradient-checkpointing equivalent, reference train.py:977-988)."""
     vision_tokens = encode_frames(params, cfg, pixel_values)
     embeds = multimodal_embeds(params, cfg, plan, vision_tokens)
-    logits, _ = llama_mod.llama_forward(
-        params["llm"], cfg.llm, embeds,
-        position_ids=plan.position_ids, attention_mask=plan.attention_mask,
-        right_padded=True,  # fusion plans are right-padded; enables flash vjp
-        remat=remat,
-    )
+    from teochat_tpu.config import MptConfig
+
+    if isinstance(cfg.llm, MptConfig):
+        from teochat_tpu.models.mpt import mpt_forward
+
+        # MPT trains PREFIX-LM style in the reference only via converters it
+        # never uses for LLaVA-MPT; the causal path matches llava_mpt.py.
+        # (mpt_forward has no remat knob yet: MPT fine-tuning at reference
+        # scale fits without it.)
+        logits, _ = mpt_forward(
+            params["llm"], cfg.llm, embeds,
+            attention_mask=plan.attention_mask,
+        )
+    else:
+        logits, _ = llama_mod.llama_forward(
+            params["llm"], cfg.llm, embeds,
+            position_ids=plan.position_ids, attention_mask=plan.attention_mask,
+            right_padded=True,  # right-padded fusion plans enable flash vjp
+            remat=remat,
+        )
     shift_logits = logits[:, :-1]
     shift_labels = plan.labels[:, 1:]
     valid = shift_labels != fusion_mod.IGNORE_INDEX
@@ -192,6 +220,14 @@ class TEOChat:
         # cache is allocated inside the program (+1 spare slot: padded prefill
         # tokens park their K/V there — generation trash-slot note)
         if gen.speculative_k > 0:
+            from teochat_tpu.config import MptConfig
+
+            if isinstance(cfg.llm, MptConfig):
+                raise ValueError(
+                    "speculative decoding supports the llama backend only "
+                    "(the MPT spec-verify block path is not wired); set "
+                    "speculative_k=0"
+                )
             # prompt-lookup speculation: greedy runs are token-identical to
             # the plain path; sampling runs are distribution-exact (residual
             # rejection sampling) but consume randomness differently, so they

@@ -409,6 +409,11 @@ class BatchEngine:
                  prefill_chunk: Optional[int] = None):
         self.model = model
         self.cfg: TEOChatConfig = model.cfg
+        if getattr(model.cfg, "llm_backend", "llama") != "llama":
+            raise NotImplementedError(
+                "the continuous-batching engine drives the llama backend; "
+                "serve MPT models through Chat.generate (plain path)"
+            )
         self.max_slots = max_slots
         self.max_len = max_len
         self.chunk = chunk

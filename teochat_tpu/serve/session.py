@@ -43,6 +43,11 @@ class ChatSession:
     def __init__(self, model: teochat_mod.TEOChat, *, max_len: int = 4096):
         self.model = model
         self.max_len = max_len
+        if getattr(model.cfg, "llm_backend", "llama") != "llama":
+            raise NotImplementedError(
+                "KV-reuse sessions drive the llama backend; chat with MPT "
+                "models through the stateless Chat.generate path"
+            )
         # KV allocated LAZILY on the first turn: an idle session costs no HBM
         # (a 7B/4096 bf16 cache is ~2.1 GB — multi-session servers keep many)
         self.cache = None

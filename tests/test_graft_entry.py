@@ -34,8 +34,19 @@ def test_dryrun_multichip_driver_pattern():
     )
     env.pop("_TEOCHAT_DRYRUN_CHILD", None)
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    # quick mode: the re-exec guarantee under test is proven by the core
+    # sharded train step; the full validation set runs in
+    # test_dryrun_multichip_8 and in the driver itself
+    env["_TEOCHAT_DRYRUN_QUICK"] = "1"
+    # config-route CPU forcing BEFORE devices(): the env-var forms alone
+    # still initialize every discovered plugin, and merely initializing the
+    # axon TPU plugin opens the single-client tunnel (it blocks for many
+    # minutes when a killed TPU process wedged it — this test hung exactly
+    # there). The 1-device condition under test is unchanged.
     code = (
-        "import jax, __graft_entry__;"
+        "import jax;"
+        "jax.config.update('jax_platforms', 'cpu');"
+        "import __graft_entry__;"
         "assert len(jax.devices()) == 1, jax.devices();"
         "__graft_entry__.dryrun_multichip(8)"
     )

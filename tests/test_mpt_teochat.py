@@ -1,0 +1,217 @@
+"""LLaVA-MPT end-to-end glue: TEOChat with the MPT backend.
+
+The reference ships LlavaMPTForCausalLM (llava_mpt.py:45-109) as a full model
+variant loadable through builder.py:107-133; here the same capability is the
+backend dispatch in models/generation.py (backend_embed/backend_forward) +
+init_teochat/fuse_embeds/forward_train MPT branches + builder._load_mpt_model.
+"""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from teochat_tpu.config import (
+    GenerationConfig,
+    MptConfig,
+    ProjectorConfig,
+    TEOChatConfig,
+    VisionConfig,
+    tiny_test_config,
+)
+from teochat_tpu.constants import IMAGE_TOKEN_INDEX
+from teochat_tpu.models import fusion as fusion_mod
+from teochat_tpu.models import teochat as teochat_mod
+from teochat_tpu.models.llama import init_cache
+from teochat_tpu.models.mpt import mpt_forward
+from teochat_tpu.models.teochat import TEOChat, init_teochat
+
+
+def _mpt_teochat_cfg(vocab=96):
+    base = tiny_test_config(vocab_size=vocab)
+    llm = MptConfig(vocab_size=vocab, d_model=64, n_layers=2, n_heads=4,
+                    expansion_ratio=2, max_seq_len=128)
+    return dataclasses.replace(base, llm=llm, llm_backend="mpt")
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = _mpt_teochat_cfg()
+    params = init_teochat(jax.random.PRNGKey(0), cfg)
+    return TEOChat(cfg, params)
+
+
+def test_generate_matches_manual_mpt_loop(model):
+    """TEOChat.generate through the backend dispatch == stepping mpt_forward
+    by hand over the same fused embeds (greedy)."""
+    cfg = model.cfg
+    rng = np.random.RandomState(0)
+    ids = [1, 7, IMAGE_TOKEN_INDEX, 9, 11]
+    frames = rng.randn(1, 3, 28, 28).astype(np.float32)
+    gen = GenerationConfig(max_new_tokens=6, temperature=0.0, do_sample=False,
+                           stop_strings=())
+    got = model.generate([ids], frames, gen)[0]
+
+    # manual reference loop (test_mpt_parity.py pattern), unpadded plan
+    fused_len = len(ids) + model.tokens_per_frame - 1
+    plan = fusion_mod.build_fusion_plan(
+        [ids], tokens_per_frame=model.tokens_per_frame,
+        max_length=256, pad_to=fused_len,
+    )
+    vision_tokens = model.encode(frames)
+    emb = teochat_mod.multimodal_embeds(
+        model.params, cfg, plan, vision_tokens.astype(model._dtype)
+    )
+    n_new = gen.max_new_tokens
+    cache = init_cache(cfg.llm, 1, fused_len + n_new + 1, dtype=model._dtype)
+    slots = jnp.arange(fused_len)[None, :]
+    kv_mask = (
+        jnp.zeros((1, fused_len + n_new + 1), bool).at[:, :fused_len].set(True)
+    )
+    logits, cache = mpt_forward(
+        model.params["llm"], cfg.llm, emb, cache=cache, write_slots=slots,
+        kv_mask=kv_mask, logits_mode="last",
+        last_index=jnp.asarray([fused_len - 1]),
+    )
+    from teochat_tpu.models.mpt import mpt_embed
+
+    want = [int(jnp.argmax(logits[0, -1]))]
+    for step in range(n_new - 1):
+        pos = jnp.asarray([[fused_len + step]])
+        kv_mask = kv_mask.at[:, fused_len + step].set(True)
+        e = mpt_embed(model.params["llm"], jnp.asarray([[want[-1]]]),
+                      dtype=model._dtype)
+        logits, cache = mpt_forward(
+            model.params["llm"], cfg.llm, e, cache=cache, write_slots=pos,
+            kv_mask=kv_mask, logits_mode="last",
+        )
+        want.append(int(jnp.argmax(logits[0, -1])))
+    assert got == want
+
+
+def test_forward_train_mpt_backend(model):
+    """Training CE + grads flow through the MPT branch of forward_train."""
+    cfg = model.cfg
+    ids = [1, IMAGE_TOKEN_INDEX, 9, 11, 4]
+    plan = fusion_mod.build_fusion_plan(
+        [ids], tokens_per_frame=model.tokens_per_frame, max_length=64,
+        pad_to=16, labels=[[-100, -100, 9, 11, 4]],
+    )
+    pixels = np.random.RandomState(1).randn(1, 3, 28, 28).astype(np.float32)
+
+    def loss_fn(p):
+        return teochat_mod.forward_train(p, cfg, plan, jnp.asarray(pixels))
+
+    loss, grads = jax.value_and_grad(loss_fn)(model.params)
+    assert np.isfinite(float(loss))
+    g = grads["llm"]["layers"]["wqkv"]["kernel"]
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
+
+
+def test_speculative_rejected_for_mpt(model):
+    gen = GenerationConfig(max_new_tokens=4, temperature=0.0, do_sample=False,
+                           stop_strings=(), speculative_k=4)
+    with pytest.raises(ValueError, match="llama backend"):
+        model.generate([[1, 5, 9]], None, gen)
+
+
+def _tiny_llava_mpt_checkpoint(path):
+    torch = pytest.importorskip("torch")
+    from tests.test_builder import _write_tokenizer
+
+    os.makedirs(path, exist_ok=True)
+    g = torch.Generator().manual_seed(0)
+
+    def w(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    d, vocab, layers = 32, 64, 2
+    sd = {
+        "transformer.wte.weight": w(vocab, d),
+        "transformer.norm_f.weight": torch.ones(d),
+    }
+    for i in range(layers):
+        p = f"transformer.blocks.{i}."
+        sd[p + "norm_1.weight"] = torch.ones(d)
+        sd[p + "attn.Wqkv.weight"] = w(3 * d, d)
+        sd[p + "attn.out_proj.weight"] = w(d, d)
+        sd[p + "norm_2.weight"] = torch.ones(d)
+        sd[p + "ffn.up_proj.weight"] = w(2 * d, d)
+        sd[p + "ffn.down_proj.weight"] = w(d, 2 * d)
+    # projector under the MPT model prefix (LlavaMPTModel attribute)
+    sd["transformer.mm_projector.0.weight"] = w(d, 16)
+    sd["transformer.mm_projector.0.bias"] = torch.zeros(d)
+    sd["transformer.mm_projector.2.weight"] = w(d, d)
+    sd["transformer.mm_projector.2.bias"] = torch.zeros(d)
+    # embedded tiny vision tower (test_builder geometry)
+    vt = "transformer.image_tower.vision_model."
+    sd[vt + "embeddings.patch_embedding.weight"] = w(16, 3, 14, 14)
+    sd[vt + "embeddings.class_embedding"] = w(16)
+    sd[vt + "embeddings.position_embedding.weight"] = w(5, 16)
+    for n in ("pre_layrnorm", "post_layernorm"):
+        sd[vt + n + ".weight"] = torch.ones(16)
+        sd[vt + n + ".bias"] = torch.zeros(16)
+    e = vt + "encoder.layers.0."
+    for n in ["q_proj", "k_proj", "v_proj", "out_proj"]:
+        sd[e + f"self_attn.{n}.weight"] = w(16, 16)
+        sd[e + f"self_attn.{n}.bias"] = torch.zeros(16)
+    for n in ["layer_norm1", "layer_norm2"]:
+        sd[e + n + ".weight"] = torch.ones(16)
+        sd[e + n + ".bias"] = torch.zeros(16)
+    sd[e + "mlp.fc1.weight"] = w(32, 16)
+    sd[e + "mlp.fc1.bias"] = torch.zeros(32)
+    sd[e + "mlp.fc2.weight"] = w(16, 32)
+    sd[e + "mlp.fc2.bias"] = torch.zeros(16)
+    torch.save(sd, os.path.join(path, "pytorch_model.bin"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({
+            "model_type": "llava_mpt",
+            "vocab_size": vocab, "d_model": d, "n_layers": layers,
+            "n_heads": 4, "expansion_ratio": 2, "max_seq_len": 128,
+            "attn_config": {"alibi": True, "alibi_bias_max": 8},
+            "mm_projector_type": "mlp2x_gelu", "mm_hidden_size": 16,
+            "mm_use_im_patch_token": False,
+            "tokenizer_model_max_length": 128, "max_sequence_length": 128,
+        }, f)
+    _write_tokenizer(path)
+
+
+def test_builder_loads_llava_mpt_checkpoint(tmp_path):
+    from tests.test_builder import _patch_tiny_vision
+
+    from teochat_tpu import builder as builder_mod
+    from teochat_tpu.builder import load_pretrained_model
+
+    path = str(tmp_path / "llava-mpt-tiny")
+    _tiny_llava_mpt_checkpoint(path)
+    orig = _patch_tiny_vision(None)
+    try:
+        tokenizer, model, processor, ctx = load_pretrained_model(
+            path, None, "llava-mpt-tiny"
+        )
+    finally:
+        builder_mod.load_config = orig
+    assert model.cfg.llm_backend == "mpt"
+    assert isinstance(model.cfg.llm, MptConfig)
+    assert "wte" in model.params["llm"]
+    out = model.generate(
+        [[1, 5, IMAGE_TOKEN_INDEX, 9]],
+        np.random.RandomState(0).randn(1, 3, 28, 28).astype(np.float32),
+        GenerationConfig(max_new_tokens=4, temperature=0.0, do_sample=False,
+                         stop_strings=()),
+    )
+    assert len(out[0]) > 0
+
+
+def test_builder_mpt_rejects_quantized_load(tmp_path):
+    from teochat_tpu.builder import load_pretrained_model
+
+    path = str(tmp_path / "llava-mpt-tiny8")
+    _tiny_llava_mpt_checkpoint(path)
+    with pytest.raises(NotImplementedError, match="llama backend"):
+        load_pretrained_model(path, None, "llava-mpt-tiny8", load_8bit=True)
