@@ -166,11 +166,14 @@ def mpt_forward(
     kv_mask: Optional[jnp.ndarray] = None,
     logits_mode: str = "all",
     last_index: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional["KVCache"]]:
     """Run the MPT stack. Mirrors llama.llama_forward's cache contract.
 
     ALiBi replaces position ids entirely (learned_pos_emb=False production
     config); the bias table is sized to the cache (or sequence) length.
+    `remat` rematerializes layers in the backward pass (HF gradient
+    checkpointing equivalent; cache-free path only, like llama).
     """
     from teochat_tpu.models.llama import KVCache
 
@@ -182,6 +185,13 @@ def mpt_forward(
     bias = alibi_bias(cfg.n_heads, t_bias, cfg.alibi_bias_max)[0, :, 0, :]
     q_slots = write_slots
 
+    layer_fn = _mpt_layer
+    if remat and cache is None:
+        layer_fn = jax.checkpoint(
+            _mpt_layer, static_argnums=(2,),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
+
     if cache is None:
         if cfg.pipeline_axis is not None:
             # GPipe over the stacked layer axis (parallel/pipeline.py); the
@@ -190,7 +200,7 @@ def mpt_forward(
             from teochat_tpu.parallel.pipeline import pipelined_scan_blocks
 
             def block_fn(xc, lp, mask_b):
-                y, _ = _mpt_layer(
+                y, _ = layer_fn(
                     xc, lp, cfg, bias, mask_b, None, None, None
                 )
                 return y
@@ -202,7 +212,7 @@ def mpt_forward(
             )
         else:
             def body(carry, lp):
-                y, _ = _mpt_layer(
+                y, _ = layer_fn(
                     carry, lp, cfg, bias, attention_mask, None, None, None
                 )
                 return y, None

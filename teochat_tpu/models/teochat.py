@@ -114,11 +114,9 @@ def forward_train(
 
         # MPT trains PREFIX-LM style in the reference only via converters it
         # never uses for LLaVA-MPT; the causal path matches llava_mpt.py.
-        # (mpt_forward has no remat knob yet: MPT fine-tuning at reference
-        # scale fits without it.)
         logits, _ = mpt_forward(
             params["llm"], cfg.llm, embeds,
-            attention_mask=plan.attention_mask,
+            attention_mask=plan.attention_mask, remat=remat,
         )
     else:
         logits, _ = llama_mod.llama_forward(
