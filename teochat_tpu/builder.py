@@ -143,10 +143,10 @@ def _load_mpt_model(
     transformer.* decoder weights -> models/mpt.py pytree, projector/tower
     subtrees shared with the llama path, vision-token machinery applied to
     the tied wte table."""
-    if load_8bit or load_int4:
+    if load_int4:
         raise NotImplementedError(
-            "int8/int4 quantization is wired for the llama backend; the MPT "
-            "backend loads bf16"
+            "packed int4 is wired for the llama backend (fused qkv/gateup "
+            "kernel layouts); MPT supports load_8bit or bf16"
         )
     from teochat_tpu.models.mpt import convert_hf_mpt
 
@@ -202,8 +202,16 @@ def _load_mpt_model(
     params = {
         "vision": jax.tree.map(lambda x: jnp.asarray(x, dtype), vision_params),
         "projector": jax.tree.map(lambda x: jnp.asarray(x, dtype), proj_params),
-        "llm": jax.tree.map(lambda x: jnp.asarray(x, dtype), llm_params),
     }
+    if load_8bit:
+        from teochat_tpu.ops.quant import quantize_mpt_params
+
+        llm_jnp = jax.tree.map(lambda x: jnp.asarray(x), llm_params)
+        qp = quantize_mpt_params(llm_jnp)
+        qp["wte"] = {"embedding": jnp.asarray(llm_params["wte"]["embedding"], dtype)}
+        params["llm"] = qp
+    else:
+        params["llm"] = jax.tree.map(lambda x: jnp.asarray(x, dtype), llm_params)
     model = TEOChat(cfg, params, tokenizer=tokenizer)
     processor = {
         "image": ImageProcessor(size=cfg.vision.image_size),

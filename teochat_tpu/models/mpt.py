@@ -64,8 +64,15 @@ def _ln(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def _dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if "scale" in p or "packed" in p or "packed_tiles" in p or "lora_a" in p:
+        # int8 weight-only / packed int4 / LoRA dicts: llama's projection
+        # dispatch covers every quantized layout (ops/quant.py convention)
+        from teochat_tpu.models.llama import _proj
+
+        y = _proj(x, p)
+    else:
+        y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

@@ -181,6 +181,22 @@ def quantize_llama_params(params: Dict, quantize_lm_head: bool = True) -> Dict:
     return out
 
 
+def quantize_mpt_params(params: Dict) -> Dict:
+    """int8 weight-only quantization of the MPT decoder (models/mpt.py):
+    the four projection kernels per block quantize (biases, norms, and the
+    tied wte embedding stay fp). Same per-channel scale layout as the llama
+    quantizer; mpt._dense dispatches on the 'scale' key."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wqkv", "out_proj", "up_proj", "down_proj"):
+        proj = dict(layers[name])
+        q = quantize_kernel(proj.pop("kernel"))
+        q.update(proj)  # carry any bias leaf alongside the quantized kernel
+        layers[name] = q
+    out["layers"] = layers
+    return out
+
+
 def random_int8_llama(rng: jax.Array, cfg, embed_dtype=jnp.bfloat16) -> Dict:
     """Random int8-weight decoder for benchmarking (no fp32 materialization)."""
     keys = iter(jax.random.split(rng, 32))

@@ -208,10 +208,50 @@ def test_builder_loads_llava_mpt_checkpoint(tmp_path):
     assert len(out[0]) > 0
 
 
-def test_builder_mpt_rejects_quantized_load(tmp_path):
+def test_builder_mpt_load_8bit(tmp_path):
+    """load_8bit quantizes the MPT decoder projections (reference loads MPT
+    8-bit through bitsandbytes, builder.py:94-103); int4 stays rejected."""
+    from tests.test_builder import _patch_tiny_vision
+
+    from teochat_tpu import builder as builder_mod
     from teochat_tpu.builder import load_pretrained_model
 
     path = str(tmp_path / "llava-mpt-tiny8")
     _tiny_llava_mpt_checkpoint(path)
+    orig = _patch_tiny_vision(None)
+    try:
+        _, model, _, _ = load_pretrained_model(
+            path, None, "llava-mpt-tiny8", load_8bit=True
+        )
+    finally:
+        builder_mod.load_config = orig
+    wqkv = model.params["llm"]["layers"]["wqkv"]
+    assert wqkv["kernel"].dtype == jnp.int8 and "scale" in wqkv
+    out = model.generate(
+        [[1, 5, 9]], None,
+        GenerationConfig(max_new_tokens=3, temperature=0.0, do_sample=False,
+                         stop_strings=()),
+    )
+    assert len(out[0]) > 0
     with pytest.raises(NotImplementedError, match="llama backend"):
-        load_pretrained_model(path, None, "llava-mpt-tiny8", load_8bit=True)
+        load_pretrained_model(path, None, "llava-mpt-tiny8", load_int4=True)
+
+
+def test_mpt_int8_logits_close_to_fp(model):
+    """Weight-only int8 MPT forward tracks the fp forward (metric parity,
+    not bit parity — same contract as the llama int8 path)."""
+    from teochat_tpu.models.mpt import mpt_embed
+    from teochat_tpu.ops.quant import quantize_mpt_params
+
+    cfg = model.cfg.llm
+    ids = np.random.RandomState(0).randint(1, cfg.vocab_size, (2, 9))
+    emb = mpt_embed(model.params["llm"], jnp.asarray(ids))
+    ref, _ = mpt_forward(model.params["llm"], cfg, emb)
+    qp = quantize_mpt_params(model.params["llm"])
+    got, _ = mpt_forward(qp, cfg, emb)
+    ref, got = np.asarray(ref), np.asarray(got)
+    denom = np.maximum(np.abs(ref).max(), 1e-6)
+    assert np.abs(ref - got).max() / denom < 0.08
+    # greedy argmax agreement on most positions
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree > 0.8
