@@ -18,11 +18,13 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-LORA_TARGET_GROUPS = ("attn", "mlp")  # all decoder linears
+LORA_TARGET_GROUPS = ("attn", "mlp")  # all decoder linears (llama layout)
 LORA_TARGET_NAMES = {
     "attn": ("q", "k", "v", "out"),
     "mlp": ("gate", "up", "down"),
 }
+# MPT layout (models/mpt.py): flat projection dicts inside layers
+MPT_TARGET_NAMES = ("wqkv", "out_proj", "up_proj", "down_proj")
 
 
 def add_lora_params(
@@ -37,21 +39,29 @@ def add_lora_params(
     out = {k: v for k, v in llm_params.items()}
     layers = {k: (dict(v) if isinstance(v, dict) else v) for k, v in llm_params["layers"].items()}
     keys = iter(jax.random.split(rng, 16))
-    for group in LORA_TARGET_GROUPS:
-        g = {}
-        for name in LORA_TARGET_NAMES[group]:
-            proj = dict(layers[group][name])
-            kern = proj["kernel"]
-            n_layers, fan_in, fan_out = kern.shape
-            proj["lora_a"] = (
-                jax.random.normal(next(keys), (n_layers, fan_in, rank)) * (rank ** -0.5)
-            ).astype(dtype)
-            proj["lora_b"] = jnp.zeros((n_layers, rank, fan_out), dtype)
-            # per-layer so lax.scan can slice the leading axis like every
-            # other stacked leaf
-            proj["lora_scale"] = jnp.full((n_layers,), alpha / rank, jnp.float32)
-            g[name] = proj
-        layers[group] = g
+
+    def attach(proj: Dict) -> Dict:
+        proj = dict(proj)
+        kern = proj["kernel"]
+        n_layers, fan_in, fan_out = kern.shape
+        proj["lora_a"] = (
+            jax.random.normal(next(keys), (n_layers, fan_in, rank)) * (rank ** -0.5)
+        ).astype(dtype)
+        proj["lora_b"] = jnp.zeros((n_layers, rank, fan_out), dtype)
+        # per-layer so lax.scan can slice the leading axis like every
+        # other stacked leaf
+        proj["lora_scale"] = jnp.full((n_layers,), alpha / rank, jnp.float32)
+        return proj
+
+    if "wqkv" in layers:  # MPT backend (reference trains LLaVA-MPT with LoRA)
+        for name in MPT_TARGET_NAMES:
+            layers[name] = attach(layers[name])
+    else:
+        for group in LORA_TARGET_GROUPS:
+            layers[group] = {
+                name: attach(layers[group][name])
+                for name in LORA_TARGET_NAMES[group]
+            }
     out["layers"] = layers
     if include_lm_head and "lm_head" in out:
         head = dict(out["lm_head"])
@@ -85,13 +95,19 @@ def merge_lora(llm_params: Dict) -> Dict:
                 "builder.py:65-72)"
             )
         merged = (kern.astype(jnp.float32) + delta).astype(kern.dtype)
-        return {"kernel": merged}
+        rest = {
+            k: v for k, v in proj.items()
+            if k not in ("kernel", "lora_a", "lora_b", "lora_scale")
+        }  # keep bias (MPT no_bias=False configs) and any other leaves
+        return {"kernel": merged, **rest}
 
     out = {k: v for k, v in llm_params.items()}
     layers = {}
     for gname, group in llm_params["layers"].items():
         if gname in LORA_TARGET_GROUPS:
             layers[gname] = {n: merge_proj(p) for n, p in group.items()}
+        elif gname in MPT_TARGET_NAMES:
+            layers[gname] = merge_proj(group)
         else:
             layers[gname] = group
     out["layers"] = layers

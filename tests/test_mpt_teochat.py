@@ -255,3 +255,65 @@ def test_mpt_int8_logits_close_to_fp(model):
     # greedy argmax agreement on most positions
     agree = (ref.argmax(-1) == got.argmax(-1)).mean()
     assert agree > 0.8
+
+
+def test_mpt_lora_train_and_merge(model):
+    """LoRA attaches to the MPT layout (reference trains LLaVA-MPT with the
+    same r=128 recipe), grads flow only through adapters, and merge_lora
+    folds the delta back (logits match the adapter forward)."""
+    from teochat_tpu.train.lora import (
+        add_lora_params, lora_trainable_filter, merge_lora,
+    )
+    from teochat_tpu.train.trainer import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = model.cfg
+    # fresh params: the train step donates buffers — training on the shared
+    # module fixture would delete its arrays under later tests
+    params = init_teochat(jax.random.PRNGKey(5), cfg)
+    params["llm"] = add_lora_params(
+        jax.random.PRNGKey(1), params["llm"], rank=4, alpha=8.0
+    )
+    assert "lora_a" in params["llm"]["layers"]["wqkv"]
+    # snapshot BEFORE the step: donation deletes the input buffers
+    a0 = np.asarray(params["llm"]["layers"]["wqkv"]["lora_a"]).copy()
+    k0 = np.asarray(params["llm"]["layers"]["wqkv"]["kernel"]).copy()
+
+    optimizer = make_optimizer(1e-2, total_steps=10)
+    state = init_train_state(params, optimizer, lora_trainable_filter)
+    step = make_train_step(cfg, optimizer, trainable_filter=lora_trainable_filter)
+    ids = [1, IMAGE_TOKEN_INDEX, 9, 11, 4]
+    plan = fusion_mod.build_fusion_plan(
+        [ids], tokens_per_frame=model.tokens_per_frame, max_length=64,
+        pad_to=16, labels=[[-100, -100, 9, 11, 4]],
+    )
+    pixels = jnp.asarray(
+        np.random.RandomState(1).randn(1, 3, 28, 28), jnp.float32
+    )
+    state, loss = step(state, plan, pixels)
+    # step 2: the warmup schedule makes the very first update zero-LR
+    state, loss = step(state, plan, pixels)
+    assert np.isfinite(float(loss))
+    # adapters moved, base kernel frozen
+    a1 = np.asarray(state.params["llm"]["layers"]["wqkv"]["lora_a"])
+    k1 = np.asarray(state.params["llm"]["layers"]["wqkv"]["kernel"])
+    # lora_b starts at zero so first-step grads hit lora_b, not lora_a
+    b1 = np.asarray(state.params["llm"]["layers"]["wqkv"]["lora_b"])
+    assert np.abs(b1).max() > 0 or np.abs(a1 - a0).max() > 0
+    np.testing.assert_array_equal(k0, k1)
+
+    # merge: adapter forward == merged forward
+    from teochat_tpu.models.mpt import mpt_embed
+
+    llm = state.params["llm"]
+    ids2 = np.random.RandomState(2).randint(1, cfg.llm.vocab_size, (1, 7))
+    emb = mpt_embed(llm, jnp.asarray(ids2))
+    with_adapters, _ = mpt_forward(llm, cfg.llm, emb)
+    merged = merge_lora(llm)
+    assert "lora_a" not in merged["layers"]["wqkv"]
+    merged_logits, _ = mpt_forward(merged, cfg.llm, emb)
+    np.testing.assert_allclose(
+        np.asarray(with_adapters), np.asarray(merged_logits),
+        atol=2e-2, rtol=2e-2,
+    )
