@@ -317,3 +317,22 @@ def test_mpt_lora_train_and_merge(model):
         np.asarray(with_adapters), np.asarray(merged_logits),
         atol=2e-2, rtol=2e-2,
     )
+
+
+def test_chat_serves_mpt_stateless(model):
+    """Chat with an MPT model falls back to the stateless full-prefill path
+    (KV-reuse sessions are llama-only) and completes a two-turn exchange."""
+    from teochat_tpu.data.processing import ImageProcessor
+    from teochat_tpu.serve.chat import Chat
+    from tests.test_eval_e2e import MockTokenizer
+
+    tok = MockTokenizer()
+    m = TEOChat(model.cfg, model.params, tokenizer=tok)
+    chat = Chat(model_bundle=(tok, m, ImageProcessor(size=28)))
+    assert chat._session is None  # fell back, no error
+    imgs = [np.random.RandomState(i).randint(0, 255, (40, 40, 3), np.uint8)
+            for i in range(2)]
+    r1 = chat.generate("What is here?", imgs, temperature=0.0, max_new_tokens=3)
+    assert isinstance(r1["response"], str)
+    r2 = chat.generate("And now?", [], temperature=0.0, max_new_tokens=3)
+    assert isinstance(r2["response"], str) and len(chat.history) == 2
