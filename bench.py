@@ -800,8 +800,13 @@ def main():
             _log(f"skipping phase {name}: {remaining:.0f}s left < est {est:.0f}s")
             statuses[name] = "cached" if name in prev_ok else "skipped"
             continue
-        _log(f"running phase {name} ({remaining:.0f}s budget left)")
-        r, elapsed = _run_phase_subprocess(name, budget_s=remaining)
+        # cap the per-phase budget: a wedged TPU tunnel hangs children at
+        # backend init, and an uncapped first phase would eat the WHOLE
+        # deadline — capping leaves later phases (incl. the host-only
+        # preprocess) their shot, and the sidecar covers what failed
+        budget = min(remaining, max(2.5 * est, 120.0))
+        _log(f"running phase {name} ({budget:.0f}s budget, {remaining:.0f}s left)")
+        r, elapsed = _run_phase_subprocess(name, budget_s=budget)
         if r:
             results.update(r)
             statuses[name] = "ok"
