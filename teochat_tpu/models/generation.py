@@ -40,19 +40,28 @@ def backend_embed(params, cfg, ids, dtype=None):
 
 
 def backend_forward(params, cfg, emb, *, position_ids, cache, write_slots,
-                    kv_mask, logits_mode, last_index=None):
-    """Cached-path decoder dispatch. MPT ignores position_ids (ALiBi)."""
+                    kv_mask, logits_mode, last_index=None,
+                    cache_row_offset=0, spec_verify=False, prefill_start=0,
+                    attend_cache=False, act_quant_ok=None):
+    """Cached-path decoder dispatch. MPT ignores position_ids (ALiBi). The
+    extended cache contract (per-slot row offsets, spec-verify blocks,
+    chunked-prefill offsets) is shared by both backends."""
     if isinstance(cfg, MptConfig):
         from teochat_tpu.models import mpt as mpt_mod
 
         return mpt_mod.mpt_forward(
             params, cfg, emb, cache=cache, write_slots=write_slots,
             kv_mask=kv_mask, logits_mode=logits_mode, last_index=last_index,
+            cache_row_offset=cache_row_offset, spec_verify=spec_verify,
+            prefill_start=prefill_start, attend_cache=attend_cache,
         )
     return llama_mod.llama_forward(
         params, cfg, emb, position_ids=position_ids, cache=cache,
         write_slots=write_slots, kv_mask=kv_mask, logits_mode=logits_mode,
         last_index=last_index,
+        cache_row_offset=cache_row_offset, spec_verify=spec_verify,
+        prefill_start=prefill_start, attend_cache=attend_cache,
+        act_quant_ok=act_quant_ok,  # w8a8 prefill is a llama-path knob
     )
 
 
@@ -277,7 +286,7 @@ def prefill_full(params, cfg, cache, embeds, seq_lens, attention_mask,
     trash = t_max - 1
     slots = jnp.where(attention_mask, position_ids, trash)
     kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) < seq_lens[:, None]
-    logits, cache = llama_mod.llama_forward(
+    logits, cache = backend_forward(
         params, cfg, embeds, position_ids=position_ids, cache=cache,
         write_slots=slots, kv_mask=kv_mask,
         logits_mode="last", last_index=seq_lens - 1,
@@ -305,7 +314,7 @@ def prefill_suffix(params, cfg, cache, embeds, start, seq_lens,
         jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1)
         < (start + seq_lens)[:, None]
     )
-    logits, cache = llama_mod.llama_forward(
+    logits, cache = backend_forward(
         params, cfg, embeds, position_ids=abs_pos, cache=cache,
         write_slots=slots, kv_mask=kv_mask, logits_mode="last",
         last_index=seq_lens - 1, spec_verify=True,

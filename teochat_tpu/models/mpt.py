@@ -88,11 +88,17 @@ def _mpt_layer(
     write_slots: Optional[jnp.ndarray],
     q_slots: Optional[jnp.ndarray],
     layer: Optional[jnp.ndarray] = None,
+    row_offset=0,
+    spec_verify: bool = False,
+    prefill_start=0,
+    attend_cache: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """kv_cache is the FULL stacked [L, 2, B, T, H_kv, D] buffer with
     `layer` selecting this layer's slab (in-place single-scatter update
     pattern shared with models/llama.py — scan ys would copy the whole
-    cache per decode step)."""
+    cache per decode step). row_offset/spec_verify/prefill_start/attend_cache
+    mirror llama._attention_layer's cache contract (per-slot engine prefill,
+    suffix prefill over committed context, chunked prefill)."""
     b, s, d = x.shape
     h = cfg.n_heads
     hd = d // h
@@ -127,25 +133,32 @@ def _mpt_layer(
                 q, k, v, causal=True, mask=mask, bias_k=bias[:, :s], impl="xla"
             )
     else:
-        if s > 1:
+        if s > 1 and not spec_verify:
             # contiguous right-padded prefill: one dus writes the K/V pair
-            # (see llama.py note)
+            # (see llama.py note); prefill_start offsets chunked pieces
             kv_cache = jax.lax.dynamic_update_slice(
                 kv_cache,
                 jnp.stack([k, v], axis=0).astype(kv_cache.dtype)[None],
-                (layer, 0, 0, 0, 0, 0),
+                (layer, 0, row_offset, prefill_start, 0, 0),
             )
+        else:
+            # ONE scatter writes both K and V rows (llama.py KVCache note);
+            # row indices offset for per-slot engine prefills
+            batch_idx = row_offset + jnp.arange(b, dtype=jnp.int32)[:, None]
+            kv_cache = kv_cache.at[layer, :, batch_idx, write_slots].set(
+                jnp.stack([k, v], axis=2).astype(kv_cache.dtype)
+            )
+        if s > 1 and not spec_verify and not attend_cache:
             out = dot_product_attention(
                 q, k, v, causal=True, bias_k=bias[:, :s]
             )
         else:
-            # ONE scatter writes both K and V rows (llama.py KVCache note)
-            batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
-            kv_cache = kv_cache.at[layer, :, batch_idx, write_slots].set(
-                jnp.stack([k, v], axis=2).astype(kv_cache.dtype)
-            )
             slab = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
             kl, vl = slab[0], slab[1]
+            if kl.shape[0] != b:
+                # per-slot block over a wider cache: read this row group only
+                kl = jax.lax.dynamic_slice_in_dim(kl, row_offset, b, axis=0)
+                vl = jax.lax.dynamic_slice_in_dim(vl, row_offset, b, axis=0)
             t_max = kl.shape[1]
             slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, s, t_max), 2)
             dec_mask = slot_ids <= q_slots[:, :, None]
@@ -174,6 +187,10 @@ def mpt_forward(
     logits_mode: str = "all",
     last_index: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    cache_row_offset=0,
+    spec_verify: bool = False,
+    prefill_start=0,
+    attend_cache: bool = False,
 ) -> Tuple[jnp.ndarray, Optional["KVCache"]]:
     """Run the MPT stack. Mirrors llama.llama_forward's cache contract.
 
@@ -236,7 +253,8 @@ def mpt_forward(
                 params["layers"],
             )
             y, kvc = _mpt_layer(
-                y, lp, cfg, bias, kv_mask, kvc, write_slots, q_slots, l
+                y, lp, cfg, bias, kv_mask, kvc, write_slots, q_slots, l,
+                cache_row_offset, spec_verify, prefill_start, attend_cache,
             )
             return (y, kvc)
 

@@ -164,9 +164,7 @@ class Chat:
         # turn's suffix (serve/session.py). The reference demo re-prefills
         # the whole conversation every turn.
         self._session = None
-        if incremental and getattr(self.model.cfg, "llm_backend", "llama") == "llama":
-            # KV-reuse sessions are llama-only; MPT chats run the stateless
-            # full-prefill path (the reference demo's behavior for every model)
+        if incremental:
             from teochat_tpu.serve.session import ChatSession
 
             self._session = ChatSession(self.model, max_len=session_max_len)

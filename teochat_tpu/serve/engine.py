@@ -40,6 +40,7 @@ from teochat_tpu.config import GenerationConfig, TEOChatConfig
 from teochat_tpu.models import fusion as fusion_mod
 from teochat_tpu.models import llama as llama_mod
 from teochat_tpu.models import teochat as teochat_mod
+from teochat_tpu.models.generation import backend_embed, backend_forward
 
 
 # Scheduler state lives ON DEVICE and is donated through every program:
@@ -89,7 +90,7 @@ def _prefill_slot(params, cache, state, cfg, plan, vision_tokens, slot,
     queries; garbage pad outputs are discarded by last_index.
     """
     embeds = teochat_mod.fuse_embeds(params, plan, vision_tokens)
-    logits, cache = llama_mod.llama_forward(
+    logits, cache = backend_forward(
         params, cfg, embeds,
         position_ids=plan.position_ids,
         cache=cache,
@@ -125,7 +126,7 @@ def _prefill_chunk_write(params, cache, cfg, emb, pos_ids, slot):
     prefill_start), attending the row's committed cache (earlier chunks) —
     no logits, no state. Bounds how long one long-prompt admission can stall
     running decodes: the engine interleaves these with decode chunks."""
-    _, cache = llama_mod.llama_forward(
+    _, cache = backend_forward(
         params, cfg, emb, position_ids=pos_ids, cache=cache,
         write_slots=pos_ids, kv_mask=None, logits_mode="none",
         cache_row_offset=slot, prefill_start=pos_ids[0, 0], attend_cache=True,
@@ -140,7 +141,7 @@ def _prefill_slot_tail(params, cache, state, cfg, emb, pos_ids, seq_len,
     """Chunked prefill, final chunk: commit K/V, take the prompt's last-token
     logits (masked attention over all committed chunks), sample the first
     token, and activate the slot — the chunked twin of _prefill_slot."""
-    logits, cache = llama_mod.llama_forward(
+    logits, cache = backend_forward(
         params, cfg, emb, position_ids=pos_ids, cache=cache,
         write_slots=pos_ids, kv_mask=None, logits_mode="last",
         last_index=last_index, cache_row_offset=slot,
@@ -250,10 +251,10 @@ def _decode_chunk(params, cache, state, cfg, chunk, eos_id, pad_id):
     def step(carry, _):
         tok, pos, act, cache, rng = carry
         step_rng, rng = jax.random.split(rng)
-        emb = llama_mod.embed_tokens(params, tok[:, None])
+        emb = backend_embed(params, cfg, tok[:, None])
         write = jnp.where(act, pos, trash)[:, None]
         kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) <= pos[:, None]
-        logits, cache = llama_mod.llama_forward(
+        logits, cache = backend_forward(
             params, cfg, emb, position_ids=pos[:, None], cache=cache,
             write_slots=write, kv_mask=kv_mask, logits_mode="last",
         )
@@ -409,10 +410,13 @@ class BatchEngine:
                  prefill_chunk: Optional[int] = None):
         self.model = model
         self.cfg: TEOChatConfig = model.cfg
-        if getattr(model.cfg, "llm_backend", "llama") != "llama":
+        if (
+            getattr(model.cfg, "llm_backend", "llama") != "llama"
+            and speculative_k > 0
+        ):
             raise NotImplementedError(
-                "the continuous-batching engine drives the llama backend; "
-                "serve MPT models through Chat.generate (plain path)"
+                "speculative decoding is llama-only; run the MPT engine with "
+                "speculative_k=0"
             )
         self.max_slots = max_slots
         self.max_len = max_len

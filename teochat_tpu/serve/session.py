@@ -43,11 +43,6 @@ class ChatSession:
     def __init__(self, model: teochat_mod.TEOChat, *, max_len: int = 4096):
         self.model = model
         self.max_len = max_len
-        if getattr(model.cfg, "llm_backend", "llama") != "llama":
-            raise NotImplementedError(
-                "KV-reuse sessions drive the llama backend; chat with MPT "
-                "models through the stateless Chat.generate path"
-            )
         # KV allocated LAZILY on the first turn: an idle session costs no HBM
         # (a 7B/4096 bf16 cache is ~2.1 GB — multi-session servers keep many)
         self.cache = None
@@ -119,6 +114,11 @@ class ChatSession:
             model.tokens_per_frame - 1
         )
         spec_k = gen.speculative_k
+        if spec_k > 0 and getattr(self.model.cfg, "llm_backend", "llama") != "llama":
+            raise NotImplementedError(
+                "speculative decoding is llama-only; run MPT sessions with "
+                "speculative_k=0"
+            )
         if start_tok + fused_delta + gen.max_new_tokens + spec_k + 1 > self.max_len:
             raise ValueError(
                 f"session cache full: {start_tok} committed + {fused_delta} new "

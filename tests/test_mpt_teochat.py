@@ -319,20 +319,67 @@ def test_mpt_lora_train_and_merge(model):
     )
 
 
-def test_chat_serves_mpt_stateless(model):
-    """Chat with an MPT model falls back to the stateless full-prefill path
-    (KV-reuse sessions are llama-only) and completes a two-turn exchange."""
+def test_chat_serves_mpt_with_kv_sessions(model):
+    """MPT chats ride the same KV-reuse sessions as llama (suffix-only
+    prefill via the dispatched spec-verify cache path): incremental responses
+    match the stateless full-re-prefill Chat turn for turn."""
     from teochat_tpu.data.processing import ImageProcessor
     from teochat_tpu.serve.chat import Chat
     from tests.test_eval_e2e import MockTokenizer
 
     tok = MockTokenizer()
     m = TEOChat(model.cfg, model.params, tokenizer=tok)
-    chat = Chat(model_bundle=(tok, m, ImageProcessor(size=28)))
-    assert chat._session is None  # fell back, no error
     imgs = [np.random.RandomState(i).randint(0, 255, (40, 40, 3), np.uint8)
             for i in range(2)]
-    r1 = chat.generate("What is here?", imgs, temperature=0.0, max_new_tokens=3)
-    assert isinstance(r1["response"], str)
-    r2 = chat.generate("And now?", [], temperature=0.0, max_new_tokens=3)
-    assert isinstance(r2["response"], str) and len(chat.history) == 2
+
+    chat_inc = Chat(model_bundle=(tok, m, ImageProcessor(size=28)))
+    assert chat_inc._session is not None
+    chat_full = Chat(model_bundle=(tok, m, ImageProcessor(size=28)),
+                     incremental=False)
+    for turn, frames in (("What is here?", imgs), ("And now?", [])):
+        r_inc = chat_inc.generate(turn, frames, temperature=0.0,
+                                  max_new_tokens=4)
+        r_full = chat_full.generate(turn, frames, temperature=0.0,
+                                    max_new_tokens=4)
+        assert r_inc["response"] == r_full["response"]
+    assert chat_inc._session.stats["reused_tokens"] > 0
+
+
+def test_engine_serves_mpt(model):
+    """The continuous-batching engine drives MPT through the backend
+    dispatch: greedy outputs match TEOChat.generate, monolithic AND chunked
+    prefill."""
+    import threading
+
+    from teochat_tpu.serve.engine import BatchEngine
+
+    gen = GenerationConfig(max_new_tokens=5, temperature=0.0, do_sample=False,
+                           stop_strings=())
+    rng = np.random.RandomState(4)
+    prompts = []
+    for i in range(2):
+        ids = [1, IMAGE_TOKEN_INDEX] + list(rng.randint(4, 90, 12 + 6 * i))
+        frames = rng.randn(1, 3, 28, 28).astype(np.float32)
+        prompts.append((ids, frames))
+    expected = [model.generate([ids], fr, gen)[0] for ids, fr in prompts]
+
+    for prefill_chunk in (None, 8):
+        engine = BatchEngine(model, max_slots=2, max_len=96, chunk=2,
+                             prefill_chunk=prefill_chunk).start()
+        try:
+            results = [None] * len(prompts)
+            threads = []
+            for i, (ids, fr) in enumerate(prompts):
+                def run(i=i, ids=ids, fr=fr):
+                    results[i] = engine.submit(ids, fr, gen)
+                t = threading.Thread(target=run)
+                t.start()
+                threads.append(t)
+            for t in threads:
+                t.join(timeout=600)
+            assert results == expected, f"prefill_chunk={prefill_chunk}"
+        finally:
+            engine.shutdown()
+
+    with pytest.raises(NotImplementedError, match="llama-only"):
+        BatchEngine(model, max_slots=2, max_len=96, speculative_k=4)
