@@ -66,6 +66,17 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r"llm/layers/(attn/qkv|mlp/gateup)/packed$", P(None, "fsdp", "model")),
     (r"llm/layers/(attn/qkv|mlp/gateup)/packed_tiles$",
      P(None, "model", "fsdp", None)),
+    # --- MPT decoder (models/mpt.py; stacked [L, ...], flat layer dicts):
+    # Megatron split — packed Wqkv/up column-parallel, out/down row-parallel;
+    # biases and int8 scales follow their kernel's output mesh axis ---
+    (r"llm/layers/wqkv/kernel$", P(None, "fsdp", "model")),
+    (r"llm/layers/out_proj/kernel$", P(None, "model", "fsdp")),
+    (r"llm/layers/up_proj/kernel$", P(None, "fsdp", "model")),
+    (r"llm/layers/down_proj/kernel$", P(None, "model", "fsdp")),
+    (r"llm/layers/(wqkv|up_proj)/(bias|scale)$", P(None, "model")),
+    (r"llm/layers/(out_proj|down_proj)/(bias|scale)$", P(None, "fsdp")),
+    (r"llm/layers/(norm1|norm2)/.*$", P()),
+    (r"llm/wte/embedding$", P("model", "fsdp")),
     # --- Vision tower (stacked [L, ...]) ---
     (r"vision/layers/(temporal_attn|attn)/(q|k|v)/kernel$", P(None, "fsdp", "model")),
     (r"vision/layers/(temporal_attn|attn)/(q|k|v)/bias$", P(None, "model")),
