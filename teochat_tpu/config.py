@@ -243,10 +243,21 @@ class TEOChatConfig:
     @staticmethod
     def from_json(s: str) -> "TEOChatConfig":
         d = json.loads(s)
+        llm_d = {
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in d.pop("llm").items()
+        }
+        # backend dispatch: MPT checkpoints must round-trip auto-resume
+        # (checkpoint/orbax_io.py) with their own config class
+        llm_cls = (
+            MptConfig
+            if d.get("llm_backend") == "mpt" or "d_model" in llm_d
+            else LlamaConfig
+        )
         return TEOChatConfig(
             vision=VisionConfig(**d.pop("vision")),
             projector=ProjectorConfig(**d.pop("projector")),
-            llm=LlamaConfig(**{k: (tuple(v) if isinstance(v, list) else v) for k, v in d.pop("llm").items()}),
+            llm=llm_cls(**llm_d),
             **d,
         )
 

@@ -383,3 +383,24 @@ def test_engine_serves_mpt(model):
 
     with pytest.raises(NotImplementedError, match="llama-only"):
         BatchEngine(model, max_slots=2, max_len=96, speculative_k=4)
+
+
+def test_mpt_config_json_roundtrip(tmp_path, model):
+    """MPT configs survive checkpoint save/load (auto-resume path)."""
+    from teochat_tpu.checkpoint.orbax_io import load_checkpoint, save_checkpoint
+
+    cfg = model.cfg
+    s = cfg.to_json()
+    cfg2 = TEOChatConfig.from_json(s)
+    assert isinstance(cfg2.llm, MptConfig) and cfg2.llm == cfg.llm
+    assert cfg2.llm_backend == "mpt"
+
+    save_checkpoint(str(tmp_path), model.params, cfg, step=1)
+    params_r, cfg_r, _ = load_checkpoint(
+        str(tmp_path / "checkpoint-1"), params_template=model.params
+    )
+    assert isinstance(cfg_r.llm, MptConfig)
+    np.testing.assert_array_equal(
+        np.asarray(params_r["llm"]["wte"]["embedding"]),
+        np.asarray(model.params["llm"]["wte"]["embedding"]),
+    )
