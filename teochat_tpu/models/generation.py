@@ -352,7 +352,8 @@ def decode_with_cache(params, cfg, cache, logits0, start_pos, stop, rng, *,
 #
 # Decode on TPU is weight-bandwidth-bound: a forward over s tokens reads the
 # same HBM bytes as a forward over 1. Verifying k drafted tokens in one
-# (k+1)-token "spec_verify" pass (llama.py) therefore costs ~one decode step;
+# (k+1)-token "spec_verify" pass (llama.py / mpt.py — the loop dispatches
+# through backend_embed/backend_forward) therefore costs ~one decode step;
 # every accepted draft is a nearly-free extra token. Drafts come from the
 # prompt+history itself (prompt-lookup / n-gram drafting — no draft model):
 # EO responses echo prompt substrings heavily (bbox coordinate lists, class
@@ -484,7 +485,7 @@ def generate_tokens_spec(
     trash = t_max - 1
     slots = jnp.where(attention_mask, position_ids, trash)
     kv_mask = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1) < seq_lens[:, None]
-    logits, cache = llama_mod.llama_forward(
+    logits, cache = backend_forward(
         params, cfg, inputs_embeds,
         position_ids=position_ids, cache=cache, write_slots=slots,
         kv_mask=kv_mask,
@@ -574,8 +575,8 @@ def _run_spec_decode_loop(params, cfg, cache, logits0, start_pos, prompt_ids,
             jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1)
             <= (pos0 + k)[:, None]
         )
-        emb = llama_mod.embed_tokens(params, blk, dtype=emb_dtype)
-        blk_logits, cache = llama_mod.llama_forward(
+        emb = backend_embed(params, cfg, blk, dtype=emb_dtype)
+        blk_logits, cache = backend_forward(
             params, cfg, emb, position_ids=blk_pos, cache=cache,
             write_slots=blk_pos, kv_mask=kv_mask, logits_mode="all",
             spec_verify=True,

@@ -218,14 +218,6 @@ class TEOChat:
         # cache is allocated inside the program (+1 spare slot: padded prefill
         # tokens park their K/V there — generation trash-slot note)
         if gen.speculative_k > 0:
-            from teochat_tpu.config import MptConfig
-
-            if isinstance(cfg.llm, MptConfig):
-                raise ValueError(
-                    "speculative decoding supports the llama backend only "
-                    "(the MPT spec-verify block path is not wired); set "
-                    "speculative_k=0"
-                )
             # prompt-lookup speculation: greedy runs are token-identical to
             # the plain path; sampling runs are distribution-exact (residual
             # rejection sampling) but consume randomness differently, so they

@@ -315,8 +315,8 @@ def _decode_chunk_spec(params, cache, state, cfg, chunk, spec_k, eos_id, pad_id)
             jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1)
             <= (pos + k)[:, None]
         )
-        emb = llama_mod.embed_tokens(params, blk)
-        blk_logits, cache = llama_mod.llama_forward(
+        emb = backend_embed(params, cfg, blk)
+        blk_logits, cache = backend_forward(
             params, cfg, emb, position_ids=blk_pos, cache=cache,
             write_slots=write, kv_mask=kv_mask, logits_mode="all",
             spec_verify=True,
@@ -410,14 +410,6 @@ class BatchEngine:
                  prefill_chunk: Optional[int] = None):
         self.model = model
         self.cfg: TEOChatConfig = model.cfg
-        if (
-            getattr(model.cfg, "llm_backend", "llama") != "llama"
-            and speculative_k > 0
-        ):
-            raise NotImplementedError(
-                "speculative decoding is llama-only; run the MPT engine with "
-                "speculative_k=0"
-            )
         self.max_slots = max_slots
         self.max_len = max_len
         self.chunk = chunk

@@ -114,11 +114,6 @@ class ChatSession:
             model.tokens_per_frame - 1
         )
         spec_k = gen.speculative_k
-        if spec_k > 0 and getattr(self.model.cfg, "llm_backend", "llama") != "llama":
-            raise NotImplementedError(
-                "speculative decoding is llama-only; run MPT sessions with "
-                "speculative_k=0"
-            )
         if start_tok + fused_delta + gen.max_new_tokens + spec_k + 1 > self.max_len:
             raise ValueError(
                 f"session cache full: {start_tok} committed + {fused_delta} new "
