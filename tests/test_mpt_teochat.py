@@ -113,6 +113,7 @@ def test_forward_train_mpt_backend(model):
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
 
 
+@pytest.mark.slow
 def test_mpt_spec_matches_plain_greedy(model):
     """Prompt-lookup speculation drives MPT through the spec_verify block
     path: token-identical to plain greedy decode (text, multimodal, and a
@@ -140,6 +141,7 @@ def test_mpt_spec_matches_plain_greedy(model):
         assert model.last_spec_stats["steps"] >= 1
 
 
+@pytest.mark.slow
 def test_mpt_spec_sampling_seed_reproducible(model):
     """Exact speculative sampling on MPT: stochastic but per-seed stable."""
     gen = GenerationConfig(max_new_tokens=6, do_sample=True, temperature=1.0,
