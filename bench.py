@@ -47,19 +47,26 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def _timeit(fn, iters, sync=lambda: None):
-    """Median-of-3 batches; sync() forces a scalar device->host fetch (host-
-    only phases pass no sync)."""
+def _timeit_all(fn, iters, sync=lambda: None, batches=3):
+    """Per-iteration time of each of `batches` batches (sorted ascending);
+    sync() forces a scalar device->host fetch (host-only phases pass no
+    sync). Returning ALL batch times lets phases publish spread, not just a
+    point estimate (tunnel variance vs real regressions, VERDICT r3 #6)."""
     fn()  # warmup / compile
     sync()
     times = []
-    for _ in range(3):
+    for _ in range(batches):
         t0 = time.perf_counter()
         for _ in range(iters):
             fn()
         sync()
         times.append((time.perf_counter() - t0) / iters)
-    return sorted(times)[1]
+    return sorted(times)
+
+
+def _timeit(fn, iters, sync=lambda: None):
+    """Median-of-3 batches (see _timeit_all)."""
+    return _timeit_all(fn, iters, sync)[1]
 
 
 # ---------------------------------------------------------------- phases
@@ -155,13 +162,18 @@ def phase_decode():
     def sync():
         int(jnp.sum(out[0]))
 
-    t_full = _timeit(full, iters=3, sync=sync)
-    _log(f"full {t_full:.3f}")
+    t_fulls = _timeit_all(full, iters=3, sync=sync)
+    t_full = t_fulls[1]
+    _log(f"full {t_full:.3f} (min {t_fulls[0]:.3f} max {t_fulls[-1]:.3f})")
     t_one = _timeit(one, iters=3, sync=sync)
     _log(f"one(prefill+1) {t_one:.3f}")
-    decode_tok_s = (max_new - 1) / (t_full - t_one)
+    # spread: tok/s from each full-loop batch against the median prefill —
+    # min/max bound the tunnel/queueing noise on the headline metric
+    tok_s = sorted((max_new - 1) / (t - t_one) for t in t_fulls)
     return {
-        "decode_tokens_per_sec": decode_tok_s,
+        "decode_tokens_per_sec": tok_s[1],
+        "decode_tokens_per_sec_min": tok_s[0],
+        "decode_tokens_per_sec_max": tok_s[-1],
         "ttft_s_prefill640_int8": t_one,
         "full_loop_s": t_full,
         "prefill_tokens": prompt_len,
@@ -296,13 +308,13 @@ def phase_decode_spec():
     )
     out = [None]
 
-    def run(n_new):
+    def run(n_new, keep_prob=None):
         toks, n, steps, acc = gen_mod.generate_tokens_spec(
             llm, cfg.llm, embeds, plan.seq_lens, plan.attention_mask,
             plan.position_ids, jnp.asarray(prompt_ids),
             jnp.asarray([len(ids[0])], jnp.int32), stop,
             max_new_tokens=n_new, cache_len=prompt_len + n_new + spec_k + 1,
-            spec_k=spec_k,
+            spec_k=spec_k, draft_keep_prob=keep_prob,
         )
         out[0] = toks
         return steps, acc
@@ -322,12 +334,30 @@ def phase_decode_spec():
     t_one = _timeit(one, iters=3, sync=sync)
     steps, acc = (int(x) for x in stats[0])
     it_s = (t_full - t_one) / max(steps - 1, 1)
-    return {
+    results = {
         "decode_tokens_per_sec_spec_bs1": (max_new - 1) / (t_full - t_one),
         "spec_iteration_s": it_s,
         "spec_steps_for_64_tokens": steps,
         "spec_mean_tokens_per_step": max_new / max(steps, 1),
     }
+    # tok/s-vs-acceptance curve: force per-position acceptance ~= keep_prob
+    # by corrupting drafts (generation.draft_keep_prob). The keep_prob is a
+    # TRACED scalar, so all three rates share one compiled program. This is
+    # the transferable number the perfect-acceptance synthetic above is not.
+    for rate in (0.75, 0.5, 0.25):
+        kp = jnp.float32(rate)
+
+        def full_r():
+            stats[0] = run(max_new, kp)
+
+        t_r = _timeit(full_r, iters=3, sync=sync)
+        steps_r, _ = (int(x) for x in stats[0])
+        pct = int(rate * 100)
+        results[f"decode_tokens_per_sec_spec_bs1_acc{pct}"] = (
+            (max_new - 1) / (t_r - t_one)
+        )
+        results[f"spec_tokens_per_step_acc{pct}"] = max_new / max(steps_r, 1)
+    return results
 
 
 def phase_serve():
@@ -597,13 +627,17 @@ PHASES = {
 }
 
 
-# Ordered so the BASELINE.json target metrics (decode headline, encode, e2e,
-# TTFT) land first: whatever the wall-clock budget, the final JSON line always
-# carries the numbers the driver/judge track. Later phases are extras.
+# Ordered so the BASELINE.json target metrics (decode headline, the batched
+# serving axis, encode, e2e, TTFT) land first: whatever the wall-clock
+# budget, the final JSON line always carries the numbers the driver/judge
+# track. preprocess is host-only and ~7 s — run it second so it always
+# lands even when the TPU tunnel is wedged. The batched-decode phases sit
+# right after the headline this round (r3 regressed them; fresh numbers are
+# the round-4 contract).
 PHASE_ORDER = (
-    "decode", "encode", "e2e", "serve", "train", "decode_int4",
-    "ttft_int8act", "ttft_turn2", "decode_spec", "decode_bs8",
-    "decode_bs16", "decode_bs32", "preprocess",
+    "decode", "preprocess", "decode_bs8", "decode_bs16", "decode_bs32",
+    "encode", "e2e", "serve", "train", "decode_int4", "ttft_int8act",
+    "ttft_turn2", "decode_spec",
 )
 
 # Conservative warm-cache wall-clock estimates per phase (seconds), including
@@ -676,68 +710,64 @@ def _run_phase_subprocess(name, budget_s, retries=1):
     return None, time.perf_counter() - t0
 
 
+# extra-dict spec: (output key, results key, producing phase, round digits).
+# _emit_final renders a key as `null` when its phase never produced a value,
+# and renames it `<key>_cached` when the value is a PRIOR run's (its phase
+# didn't finish "ok" this run) — a failure is never published as a number
+# (VERDICT r3: bs32 rendered 0.0 as if measured).
+EXTRA_SPEC = (
+    ("encode_frames_per_sec_vitL14_bf16", "encode_frames_per_sec", "encode", 1),
+    ("p50_ttft_s_2frame_640tok_int8", "ttft_s_prefill640_int8", "decode", 4),
+    ("ttft_s_prefill640_int8act_w8a8", "ttft_s_prefill640_int8act", "ttft_int8act", 4),
+    ("xbd_2frame_e2e_latency_s_32newtok", "xbd_2frame_e2e_latency_s_32newtok", "e2e", 4),
+    ("decode_tokens_per_sec_min", "decode_tokens_per_sec_min", "decode", 2),
+    ("decode_tokens_per_sec_max", "decode_tokens_per_sec_max", "decode", 2),
+    ("decode_tokens_per_sec_bs8", "decode_tokens_per_sec_bs8", "decode_bs8", 1),
+    ("decode_tokens_per_sec_bs16", "decode_tokens_per_sec_bs16", "decode_bs16", 1),
+    ("decode_tokens_per_sec_bs32_fp8kv", "decode_tokens_per_sec_bs32_fp8kv", "decode_bs32", 1),
+    ("decode_tokens_per_sec_int4_bs1", "decode_tokens_per_sec_int4", "decode_int4", 1),
+    ("decode_tokens_per_sec_int4_fp8kv_bs1", "decode_tokens_per_sec_int4_fp8kv", "decode_int4", 1),
+    ("decode_tokens_per_sec_spec_bs1_synthetic", "decode_tokens_per_sec_spec_bs1", "decode_spec", 1),
+    ("decode_tokens_per_sec_spec_bs1_acc75", "decode_tokens_per_sec_spec_bs1_acc75", "decode_spec", 1),
+    ("decode_tokens_per_sec_spec_bs1_acc50", "decode_tokens_per_sec_spec_bs1_acc50", "decode_spec", 1),
+    ("decode_tokens_per_sec_spec_bs1_acc25", "decode_tokens_per_sec_spec_bs1_acc25", "decode_spec", 1),
+    ("spec_tokens_per_step_acc75", "spec_tokens_per_step_acc75", "decode_spec", 2),
+    ("spec_tokens_per_step_acc50", "spec_tokens_per_step_acc50", "decode_spec", 2),
+    ("spec_tokens_per_step_acc25", "spec_tokens_per_step_acc25", "decode_spec", 2),
+    ("spec_verify_iteration_s_k8", "spec_iteration_s", "decode_spec", 5),
+    ("spec_mean_tokens_per_step", "spec_mean_tokens_per_step", "decode_spec", 2),
+    ("train_tokens_per_sec_lora_r128_int8_seq640", "train_tokens_per_sec", "train", 1),
+    ("ttft_s_turn2_suffix64_over640", "ttft_s_turn2_suffix64_over640", "ttft_turn2", 4),
+    ("serve_aggregate_tokens_per_sec_8streams", "serve_aggregate_tokens_per_sec_8streams", "serve", 1),
+    ("preprocess_native_frames_per_sec_host", "preprocess_native_frames_per_sec", "preprocess", 1),
+    ("preprocess_pil_frames_per_sec_host", "preprocess_pil_frames_per_sec", "preprocess", 1),
+)
+
+
 def _emit_final(results, statuses):
-    decode_tok_s = results.get("decode_tokens_per_sec", 0.0)
+    extra = {"prefill_tokens": results.get("prefill_tokens", 640)}
+    for out_key, res_key, phase, digits in EXTRA_SPEC:
+        val = results.get(res_key)
+        if val is None:
+            extra[out_key] = None  # never measured: null, NEVER 0.0
+        elif statuses.get(phase) == "ok":
+            extra[out_key] = round(val, digits)
+        else:  # a previous run's number — stale-marked in the key itself
+            extra[out_key + "_cached"] = round(val, digits)
+    extra["phases"] = statuses
+
+    decode_tok_s = results.get("decode_tokens_per_sec")
+    fresh = statuses.get("decode") == "ok"
     out = {
         "metric": "decode tokens/sec/chip (LLaMA-7B int8, bs=1)",
-        "value": round(decode_tok_s, 2),
+        "value": round(decode_tok_s, 2) if decode_tok_s is not None else None,
         "unit": "tokens/s",
-        "vs_baseline": round(decode_tok_s / A100_INT8_DECODE_TOK_S, 2),
-        "extra": {
-            "encode_frames_per_sec_vitL14_bf16": round(
-                results.get("encode_frames_per_sec", 0.0), 1
-            ),
-            "p50_ttft_s_2frame_640tok_int8": round(
-                results.get("ttft_s_prefill640_int8", 0.0), 4
-            ),
-            "ttft_s_prefill640_int8act_w8a8": round(
-                results.get("ttft_s_prefill640_int8act", 0.0), 4
-            ),
-            "xbd_2frame_e2e_latency_s_32newtok": round(
-                results.get("xbd_2frame_e2e_latency_s_32newtok", 0.0), 4
-            ),
-            "prefill_tokens": results.get("prefill_tokens", 640),
-            "decode_tokens_per_sec_bs8": round(
-                results.get("decode_tokens_per_sec_bs8", 0.0), 1
-            ),
-            "decode_tokens_per_sec_bs16": round(
-                results.get("decode_tokens_per_sec_bs16", 0.0), 1
-            ),
-            "decode_tokens_per_sec_bs32_fp8kv": round(
-                results.get("decode_tokens_per_sec_bs32_fp8kv", 0.0), 1
-            ),
-            "decode_tokens_per_sec_int4_bs1": round(
-                results.get("decode_tokens_per_sec_int4", 0.0), 1
-            ),
-            "decode_tokens_per_sec_int4_fp8kv_bs1": round(
-                results.get("decode_tokens_per_sec_int4_fp8kv", 0.0), 1
-            ),
-            "decode_tokens_per_sec_spec_bs1_synthetic": round(
-                results.get("decode_tokens_per_sec_spec_bs1", 0.0), 1
-            ),
-            "spec_verify_iteration_s_k8": round(
-                results.get("spec_iteration_s", 0.0), 5
-            ),
-            "spec_mean_tokens_per_step": round(
-                results.get("spec_mean_tokens_per_step", 0.0), 2
-            ),
-            "train_tokens_per_sec_lora_r128_int8_seq640": round(
-                results.get("train_tokens_per_sec", 0.0), 1
-            ),
-            "ttft_s_turn2_suffix64_over640": round(
-                results.get("ttft_s_turn2_suffix64_over640", 0.0), 4
-            ),
-            "serve_aggregate_tokens_per_sec_8streams": round(
-                results.get("serve_aggregate_tokens_per_sec_8streams", 0.0), 1
-            ),
-            "preprocess_native_frames_per_sec_host": round(
-                results.get("preprocess_native_frames_per_sec", 0.0), 1
-            ),
-            "preprocess_pil_frames_per_sec_host": round(
-                results.get("preprocess_pil_frames_per_sec", 0.0), 1
-            ),
-            "phases": statuses,
-        },
+        "vs_baseline": (
+            round(decode_tok_s / A100_INT8_DECODE_TOK_S, 2)
+            if decode_tok_s is not None else None
+        ),
+        "fresh": fresh,  # False: `value` is a prior run's cached measurement
+        "extra": extra,
     }
     print(json.dumps(out), flush=True)
 
@@ -803,8 +833,15 @@ def main():
         # cap the per-phase budget: a wedged TPU tunnel hangs children at
         # backend init, and an uncapped first phase would eat the WHOLE
         # deadline — capping leaves later phases (incl. the host-only
-        # preprocess) their shot, and the sidecar covers what failed
-        budget = min(remaining, max(2.5 * est, 120.0))
+        # preprocess) their shot, and the sidecar covers what failed.
+        # Floor raised 120->240 s after r3's train phase blew a 261 s budget
+        # on a cold compile cache (sidecar estimated 87 s warm): a fresh
+        # 7B-program compile through the tunnel alone runs minutes, so tight
+        # floors turn cache misses into phase failures. Local cache-warming
+        # runs override the floor (BENCH_PHASE_MIN_BUDGET=600) so every
+        # program lands in .jax_cache before the driver's budgeted run.
+        floor = float(os.environ.get("BENCH_PHASE_MIN_BUDGET", "240"))
+        budget = min(remaining, max(2.5 * est, floor))
         _log(f"running phase {name} ({budget:.0f}s budget, {remaining:.0f}s left)")
         r, elapsed = _run_phase_subprocess(name, budget_s=budget)
         if r:

@@ -22,7 +22,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,32 +38,79 @@ from teochat_tpu.data.processing import ImageProcessor
 from teochat_tpu.models.teochat import TEOChat
 
 
-def _load_state_dict(path: str) -> Dict[str, Any]:
-    """Load all weight shards in an HF checkpoint dir into one numpy dict."""
-    sd: Dict[str, Any] = {}
-    safes = sorted(glob.glob(os.path.join(path, "*.safetensors")))
-    bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))) + sorted(
-        glob.glob(os.path.join(path, "*.pt"))
-    )
-    if safes:
-        from safetensors.numpy import load_file
+class _LazyStateDict(Mapping):
+    """Key -> tensor mapping over an HF checkpoint dir, loaded ON DEMAND.
 
-        for f in safes:
+    A 7B fp16 checkpoint is ~13.5 GB; materializing every shard into one
+    dict before conversion doubles peak host RSS next to the stacked
+    conversion output (round-3 verdict: the eager loader made 7B ingestion
+    on this box theoretical). Safetensors shards are read per-tensor via
+    `safe_open` (mmap-backed — the OS pages weight data in as converters
+    touch it and evicts it under pressure); torch .bin shards load once
+    with `mmap=True` (tensor storage stays file-backed). Only tensor
+    HEADERS are parsed at construction.
+    """
+
+    def __init__(self, path: str):
+        self._safe_files: Dict[str, str] = {}  # key -> .safetensors file
+        self._bin_store: Dict[str, Any] = {}  # key -> mmap-backed tensor
+        safes = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+        bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin"))) + sorted(
+            glob.glob(os.path.join(path, "*.pt"))
+        )
+        if safes:
+            from safetensors import safe_open
+
+            for f in safes:
+                with safe_open(f, framework="numpy") as sf:
+                    for k in sf.keys():
+                        self._safe_files[k] = f
+        elif bins:
+            import torch
+
+            for f in bins:
+                try:
+                    d = torch.load(f, map_location="cpu", weights_only=True,
+                                   mmap=True)
+                except Exception:
+                    # mmap needs the zipfile serialization format; legacy
+                    # files fall back to an eager load of that shard
+                    d = torch.load(f, map_location="cpu", weights_only=True)
+                self._bin_store.update(d)
+        else:
+            raise FileNotFoundError(
+                f"no weight files (*.safetensors / *.bin) in {path}"
+            )
+
+    def __getitem__(self, key: str):
+        f = self._safe_files.get(key)
+        if f is not None:
+            from safetensors import safe_open
+
             try:
-                sd.update(load_file(f))
+                with safe_open(f, framework="numpy") as sf:
+                    return sf.get_tensor(key)
             except Exception:
-                # bf16 safetensors need the torch loader
-                from safetensors.torch import load_file as tload
+                # bf16 tensors may not be representable in this numpy; the
+                # torch view converts via convert_hf._np at use time
+                with safe_open(f, framework="pt") as sf:
+                    return sf.get_tensor(key)
+        return self._bin_store[key]
 
-                sd.update({k: v for k, v in tload(f).items()})
-    elif bins:
-        import torch
+    def __iter__(self):
+        yield from self._safe_files
+        yield from self._bin_store
 
-        for f in bins:
-            sd.update(torch.load(f, map_location="cpu", weights_only=True))
-    else:
-        raise FileNotFoundError(f"no weight files (*.safetensors / *.bin) in {path}")
-    return sd
+    def __len__(self) -> int:
+        return len(self._safe_files) + len(self._bin_store)
+
+
+def _load_state_dict(path: str) -> Mapping[str, Any]:
+    """Open all weight shards in an HF checkpoint dir as a LAZY key->tensor
+    mapping (see _LazyStateDict): tensors are read when converters index
+    them, so host RSS is bounded by the conversion output, not by
+    output + a full eager copy of the checkpoint."""
+    return _LazyStateDict(path)
 
 
 def _load_torch_file(path: str) -> Dict[str, Any]:
@@ -155,23 +202,24 @@ def _load_mpt_model(
     llm_params = convert_hf_mpt(sd, cfg.llm)
 
     proj_keys = {
-        k.replace("transformer.mm_projector", "model.mm_projector"): v
-        for k, v in sd.items() if "mm_projector" in k
+        k.replace("transformer.mm_projector", "model.mm_projector"): sd[k]
+        for k in sd if "mm_projector" in k
     }
     if not proj_keys:
         raise ValueError(f"no mm_projector weights found for {model_path}")
     proj_params = convert_hf.convert_projector(proj_keys, cfg.projector)
 
-    vt_keys = {k: v for k, v in sd.items() if "image_tower" in k or "vision_model" in k}
+    vt_names = [k for k in sd if "image_tower" in k or "vision_model" in k]
     if vision_path is not None:
         vsd = _load_state_dict(vision_path)
         vision_params = convert_hf.convert_clip_vision(vsd, cfg.vision)
-    elif any("vision_model.encoder" in k for k in vt_keys):
+    elif any("vision_model.encoder" in k for k in vt_names):
         prefix = next(
-            k.split("vision_model")[0] for k in vt_keys if "vision_model.encoder" in k
+            k.split("vision_model")[0] for k in vt_names if "vision_model.encoder" in k
         )
         vision_params = convert_hf.convert_clip_vision(
-            vt_keys, cfg.vision, prefix=prefix + "vision_model."
+            {k: sd[k] for k in vt_names}, cfg.vision,
+            prefix=prefix + "vision_model.",
         )
     else:
         raise FileNotFoundError(
@@ -204,10 +252,9 @@ def _load_mpt_model(
         "projector": jax.tree.map(lambda x: jnp.asarray(x, dtype), proj_params),
     }
     if load_8bit:
-        from teochat_tpu.ops.quant import quantize_mpt_params
+        from teochat_tpu.ops.quant import quantize_mpt_params_host
 
-        llm_jnp = jax.tree.map(lambda x: jnp.asarray(x), llm_params)
-        qp = quantize_mpt_params(llm_jnp)
+        qp = quantize_mpt_params_host(llm_params)
         qp["wte"] = {"embedding": jnp.asarray(llm_params["wte"]["embedding"], dtype)}
         params["llm"] = qp
     else:
@@ -361,7 +408,7 @@ def load_pretrained_model(
     sd = _load_state_dict(base_path)
 
     llm_params = convert_hf.convert_llama(sd, cfg.llm)
-    proj_keys = {k: v for k, v in sd.items() if "mm_projector" in k}
+    proj_keys = {k: sd[k] for k in sd if "mm_projector" in k}
 
     if lora_path is not None:
         # branch A: non-LoRA trainables (projector etc.) + LoRA merge
@@ -423,16 +470,17 @@ def load_pretrained_model(
     )
 
     # vision tower: separate dir (LanguageBind_Image layout) or embedded weights
-    vt_keys = {k: v for k, v in sd.items() if "image_tower" in k or "vision_model" in k}
+    vt_names = [k for k in sd if "image_tower" in k or "vision_model" in k]
     if vision_path is not None:
         vsd = _load_state_dict(vision_path)
         vision_params = convert_hf.convert_clip_vision(vsd, cfg.vision)
-    elif any("vision_model.encoder" in k for k in vt_keys):
+    elif any("vision_model.encoder" in k for k in vt_names):
         prefix = next(
-            k.split("vision_model")[0] for k in vt_keys if "vision_model.encoder" in k
+            k.split("vision_model")[0] for k in vt_names if "vision_model.encoder" in k
         )
         vision_params = convert_hf.convert_clip_vision(
-            vt_keys, cfg.vision, prefix=prefix + "vision_model."
+            {k: sd[k] for k in vt_names}, cfg.vision,
+            prefix=prefix + "vision_model.",
         )
     elif allow_partial:
         vision_params = None
@@ -468,19 +516,12 @@ def load_pretrained_model(
         if v is not None
     }
     if load_8bit or load_int4:
-        from teochat_tpu.ops.quant import (
-            quantize_llama_params,
-            quantize_llama_params_int4,
-        )
+        # stream projections host->device in layer chunks: uploading the
+        # whole fp16 7B decoder before quantizing would exceed a single
+        # chip's HBM (quantize_llama_params_host docstring)
+        from teochat_tpu.ops.quant import quantize_llama_params_host
 
-        llm_jnp = jax.tree.map(lambda x: jnp.asarray(x), llm_params)
-        qp = (
-            quantize_llama_params_int4(llm_jnp)
-            if load_int4
-            else quantize_llama_params(llm_jnp)
-        )
-
-        params["llm"] = qp
+        params["llm"] = quantize_llama_params_host(llm_params, int4=load_int4)
         params["llm"]["embed_tokens"]["embedding"] = jnp.asarray(
             llm_params["embed_tokens"]["embedding"], dtype
         )

@@ -198,6 +198,11 @@ class GenerationConfig:
     # (distribution-identical, but randomness is consumed differently so
     # outputs are not seed-reproducible vs the plain path).
     speculative_k: int = 0
+    # Bench/testing knob: corrupt each drafted token with prob (1 - p) before
+    # verification, simulating a target acceptance rate (bench.py measures
+    # the tok/s-vs-acceptance curve). None = production (draft verbatim).
+    # Corruption never changes outputs — wrong drafts are simply rejected.
+    speculative_draft_keep_prob: Optional[float] = None
 
 
 @dataclass(frozen=True)

@@ -454,8 +454,17 @@ def generate_tokens_spec(
     temperature: float = 0.0,
     do_sample: bool = False,
     top_p: float = 1.0,
+    draft_keep_prob: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode with prompt-lookup speculation (greedy or sampling).
+
+    draft_keep_prob: OPTIONAL traced scalar in [0, 1] — benchmarking knob
+    that randomly corrupts each drafted token with prob (1 - p) before
+    verification, simulating a target acceptance rate on synthetic weights
+    (bench.py measures the tok/s-vs-acceptance curve with it). None (the
+    default, production) drafts verbatim; the corruption branch is not
+    traced. Corruption never changes OUTPUT correctness — wrong drafts are
+    rejected by verification exactly like naturally-wrong ones.
 
     Returns (tokens [B, max_new_tokens], n_gen [B], steps, drafts_accepted) —
     `steps` is the number of verify iterations actually run (scalar int32);
@@ -496,7 +505,7 @@ def generate_tokens_spec(
         prompt_id_lens, stop, rng,
         max_new_tokens=max_new_tokens, pad_id=pad_id, spec_k=spec_k,
         temperature=temperature, do_sample=do_sample, top_p=top_p,
-        emb_dtype=inputs_embeds.dtype,
+        emb_dtype=inputs_embeds.dtype, draft_keep_prob=draft_keep_prob,
     )
     return tokens, n_gen, steps, accepted
 
@@ -504,7 +513,7 @@ def generate_tokens_spec(
 def _run_spec_decode_loop(params, cfg, cache, logits0, start_pos, prompt_ids,
                           prompt_id_lens, stop, rng, *, max_new_tokens,
                           pad_id, spec_k, temperature, do_sample, top_p,
-                          emb_dtype):
+                          emb_dtype, draft_keep_prob=None):
     """The speculative decode while_loop (called inside a jit context).
 
     start_pos: [B] cache slot of the first generated token per row (all prior
@@ -567,6 +576,14 @@ def _run_spec_decode_loop(params, cfg, cache, logits0, start_pos, prompt_ids,
             tokens, n_gen, hist, hist_len, window, done, tok0, valid0
         )
         drafts = _draft_lookup(hist, hist_len, k)  # [B, k]
+        if draft_keep_prob is not None:
+            # bench-only acceptance forcing: corrupt each draft with prob
+            # (1 - keep); a corrupted draft (+1) never equals the target, so
+            # the per-position acceptance rate ~= keep on echo-happy weights
+            ckey = jax.random.fold_in(rng, steps)
+            u = jax.random.uniform(ckey, drafts.shape)
+            wrong = (drafts + 1) % cfg.vocab_size  # stay a valid embed index
+            drafts = jnp.where(u < draft_keep_prob, drafts, wrong)
 
         blk = jnp.concatenate([tok0[:, None], drafts], axis=1)  # [B, k+1]
         blk_pos = pos0[:, None] + jnp.arange(k + 1)[None, :]

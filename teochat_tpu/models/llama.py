@@ -4,8 +4,7 @@ TPU-first rebuild of the reference's decoder path (HF LlamaForCausalLM as used
 by videollava/model/language_model/llava_llama.py:33-99):
 - stacked per-layer params + `lax.scan` (one traced layer body, not 32);
 - RoPE in the HF rotate-half convention (checkpoint-compatible);
-- KV cache as one stacked [L, 2, B, T_max, H_kv, D] buffer (K and V share it,
-  so each layer's decode update is a single scatter) carried WHOLE through
+- KV cache as two stacked [L, B, T_max, H_kv, D] buffers carried WHOLE through
   a fori_loop over layers (in-place scatter writes; threading per-layer slabs
   through scan ys would copy the full cache every decode step) — decode steps
   write at a *per-row* slot index, so ragged batches need no left-padding
@@ -32,47 +31,45 @@ Params = Dict
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
-    """K and V in ONE buffer so each decode step issues ONE scatter per layer.
+    """K and V as SEPARATE stacked buffers — measured faster at every batch.
 
-    Separate k/v arrays cost two [L,B,T,H,D] scatters per layer per decode
-    step; at 8 KB per write the cost is pure op overhead (~1.4 us each,
-    ~85 us/step at 7B — hlo_stats, scripts/profile_decode.py). Stacking them
-    as kv[L, 2, B, T, H, D] halves the scatter count; reads stay dense
-    ([l, 0] / [l, 1] slabs stream into the attention fusions unchanged).
+    Round 3 combined them as kv[L, 2, B, T, H, D] to halve the decode scatter
+    count (~85 us/step of scatter op overhead at 7B bs=1), but the combined
+    layout regressed end-to-end decode at every batch size on the real chip
+    (bs1 97.9→94.7, bs8 548→452, bs16 855→446 tok/s — BENCH_r02 vs r03): the
+    mid-buffer [l, 0]/[l, 1] slab reads stopped streaming into the batched
+    attention fusion and materialized copies. Two scatters per layer are
+    cheaper than one de-fused cache read; split buffers are the r2-proven
+    layout and stay.
     """
 
-    kv: jnp.ndarray  # [L, 2, B, T_max, H_kv, D]; [:, 0] = K, [:, 1] = V
-
-    @property
-    def k(self) -> jnp.ndarray:
-        return self.kv[:, 0]
-
-    @property
-    def v(self) -> jnp.ndarray:
-        return self.kv[:, 1]
+    k: jnp.ndarray  # [L, B, T_max, H_kv, D]
+    v: jnp.ndarray  # [L, B, T_max, H_kv, D]
 
     @property
     def dtype(self):
-        return self.kv.dtype
+        return self.k.dtype
 
     @property
     def max_len(self) -> int:
-        return self.kv.shape[3]
+        return self.k.shape[2]
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_layers, 2, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    kv = jnp.zeros(shape, dtype)
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    k = jnp.zeros(shape, dtype)
+    v = jnp.zeros(shape, dtype)
     if cfg.cache_sequence_axis is not None:
         # pin the TIME axis onto the mesh so decode reads stay shard-local
         # (parallel/sharded_cache.py); writes are GSPMD scatters
         mesh = jax.sharding.get_abstract_mesh()
         if mesh is not None and cfg.cache_sequence_axis in mesh.shape:
             spec = jax.sharding.PartitionSpec(
-                None, None, None, cfg.cache_sequence_axis, None, None
+                None, None, cfg.cache_sequence_axis, None, None
             )
-            kv = jax.lax.with_sharding_constraint(kv, spec)
-    return KVCache(kv=kv)
+            k = jax.lax.with_sharding_constraint(k, spec)
+            v = jax.lax.with_sharding_constraint(v, spec)
+    return KVCache(k=k, v=v)
 
 
 def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -144,7 +141,8 @@ def _attention_layer(
     sin: jnp.ndarray,
     kv_mask: Optional[jnp.ndarray],
     q_slots: Optional[jnp.ndarray],
-    kv_cache: Optional[jnp.ndarray],
+    k_cache: Optional[jnp.ndarray],
+    v_cache: Optional[jnp.ndarray],
     write_slots: Optional[jnp.ndarray],
     right_padded: bool = False,
     layer: Optional[jnp.ndarray] = None,
@@ -153,12 +151,11 @@ def _attention_layer(
     spec_verify: bool = False,
     prefill_start=0,
     attend_cache: bool = False,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Self-attention with optional KV cache.
 
-    x: [B, S, D]; kv_cache: FULL stacked [L, 2, B, T_max, H_kv, Hd] with
-    `layer` selecting this layer's slab (kept whole so updates stay in place;
-    K and V ride one buffer so each update is ONE scatter — see KVCache);
+    x: [B, S, D]; k_cache/v_cache: FULL stacked [L, B, T_max, H_kv, Hd] with
+    `layer` selecting this layer's slab (kept whole so updates stay in place);
     write_slots: [B, S] slot index for each new token; q_slots: [B, S] slot of
     each query (for causal masking against cache slots); kv_mask: [B, T_max]
     validity. `spec_verify`: treat an S>1 block like S decode steps (per-row
@@ -193,7 +190,7 @@ def _attention_layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if kv_cache is None:
+    if k_cache is None:
         if cfg.sequence_axis is not None:
             # context parallelism: S is sharded over the mesh's sequence
             # axis; K/V blocks rotate around the ICI ring while each shard
@@ -229,9 +226,9 @@ def _attention_layer(
             # cache-free path: causal self-attention over S (plus padding mask)
             out = dot_product_attention(q, k, v, causal=True, mask=kv_mask)
     else:
-        # kv_cache here is the FULL stacked [L, 2, B, T, H_kv, D] buffer
+        # k_cache/v_cache here are the FULL stacked [L, B, T, H_kv, D] buffers
         # with `layer` selecting this layer's slab; scatter-writing through the
-        # layer index keeps the buffer in place across the layer loop and the
+        # layer index keeps the buffers in place across the layer loop and the
         # decode while_loop. (Round 1 threaded per-layer caches through
         # lax.scan ys, which re-stacked — i.e. fully copied — both cache
         # buffers every decode step: ~1.5 GB x2 at bs=8, ~10 ms/step of pure
@@ -244,19 +241,23 @@ def _attention_layer(
             # progressively overwritten by decode writes. `row_offset` places
             # a b-row prefill at cache rows [row_offset, row_offset+b) — the
             # serving engine prefills one request into its slot while other
-            # slots keep decoding. K and V land in one update.
-            kv_cache = jax.lax.dynamic_update_slice(
-                kv_cache,
-                jnp.stack([k, v], axis=0).astype(kv_cache.dtype)[None],
-                (layer, 0, row_offset, prefill_start, 0, 0),
+            # slots keep decoding.
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype)[None],
+                (layer, row_offset, prefill_start, 0, 0),
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype)[None],
+                (layer, row_offset, prefill_start, 0, 0),
             )
         else:
-            # decode / spec-verify: ONE scatter writes both K and V rows
-            # (advanced indices around the `:` broadcast to the front, so
-            # the update carries the K/V pair on axis 2)
+            # decode / spec-verify: per-row scatter at each row's write slot
             batch_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
-            kv_cache = kv_cache.at[layer, :, batch_idx, write_slots].set(
-                jnp.stack([k, v], axis=2).astype(kv_cache.dtype)
+            k_cache = k_cache.at[layer, batch_idx, write_slots].set(
+                k.astype(k_cache.dtype)
+            )
+            v_cache = v_cache.at[layer, batch_idx, write_slots].set(
+                v.astype(v_cache.dtype)
             )
         if s > 1 and not spec_verify and not attend_cache:
             # Prefill: right-padded fused prompts start at slot 0, so causal
@@ -269,8 +270,8 @@ def _attention_layer(
             # masked to live slots. The dynamic slice at `layer` is a read
             # (XLA streams it into the attention fusion, measured at HBM
             # roofline); only the scatter above writes.
-            slab = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
-            kl, vl = slab[0], slab[1]
+            kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
             if kl.shape[0] != b:
                 # per-slot chunked prefill: a B-row block over a wider cache
                 kl = jax.lax.dynamic_slice_in_dim(kl, row_offset, b, axis=0)
@@ -297,7 +298,7 @@ def _attention_layer(
                     q, kl.astype(q.dtype), vl.astype(q.dtype), mask=mask
                 )
     out = out.reshape(b, s, h * hd)
-    return _proj(out, lp["out"], act_quant, layer), kv_cache
+    return _proj(out, lp["out"], act_quant, layer), k_cache, v_cache
 
 
 def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False, layer=None) -> jnp.ndarray:
@@ -312,7 +313,7 @@ def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False, layer=None) -> jnp
     return _proj(gate * up, lp["down"], act_quant, layer)
 
 
-def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, kv_cache,
+def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
                    write_slots, right_padded=False, layer=None, row_offset=0,
                    spec_verify=False, act_quant_ok=True, prefill_start=0,
                    attend_cache=False):
@@ -326,14 +327,14 @@ def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, kv_cache,
         cfg.int8_prefill_activations and x.shape[1] > 1 and act_quant_ok
     )
     y = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
-    attn_out, kv_cache = _attention_layer(
-        y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, kv_cache,
+    attn_out, k_cache, v_cache = _attention_layer(
+        y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
         write_slots, right_padded, layer, row_offset, act_quant, spec_verify,
         prefill_start, attend_cache,
     )
     x = x + attn_out
     y = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
-    return x + _mlp(y, lp["mlp"], act_quant, layer), kv_cache
+    return x + _mlp(y, lp["mlp"], act_quant, layer), k_cache, v_cache
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
@@ -386,7 +387,7 @@ def llama_forward(
     layer_fn = _decoder_layer
     if remat:
         layer_fn = jax.checkpoint(
-            _decoder_layer, static_argnums=(2, 9),
+            _decoder_layer, static_argnums=(2, 10),
             policy=jax.checkpoint_policies.nothing_saveable,
         )
 
@@ -407,8 +408,8 @@ def llama_forward(
             from teochat_tpu.parallel.pipeline import pipelined_scan_blocks
 
             def block_fn(xc, lp, cos_b, sin_b, mask_b):
-                y, _ = layer_fn(
-                    xc, lp, cfg, cos_b, sin_b, mask_b, None, None, None,
+                y, _, _ = layer_fn(
+                    xc, lp, cfg, cos_b, sin_b, mask_b, None, None, None, None,
                     right_padded,
                 )
                 return y
@@ -420,8 +421,8 @@ def llama_forward(
             )
         else:
             def body(carry, lp):
-                y, _ = layer_fn(
-                    carry, lp, cfg, cos, sin, mask2d, None, None, None,
+                y, _, _ = layer_fn(
+                    carry, lp, cfg, cos, sin, mask2d, None, None, None, None,
                     right_padded,
                 )
                 return y, None
@@ -453,19 +454,19 @@ def llama_forward(
             return jax.lax.dynamic_index_in_dim(tree, l, 0, keepdims=False)
 
         def body(l, carry):
-            y, kvc = carry
+            y, kc, vc = carry
             lp = _slice_layer(params["layers"], l)
-            y, kvc = layer_fn(
-                y, lp, cfg, cos, sin, kv_mask, q_slots, kvc, write_slots,
+            y, kc, vc = layer_fn(
+                y, lp, cfg, cos, sin, kv_mask, q_slots, kc, vc, write_slots,
                 False, l, cache_row_offset, spec_verify, act_quant_ok,
                 prefill_start, attend_cache,
             )
-            return (y, kvc)
+            return (y, kc, vc)
 
-        x, new_kv = jax.lax.fori_loop(
-            0, cfg.num_layers, body, (x, cache.kv)
+        x, new_k, new_v = jax.lax.fori_loop(
+            0, cfg.num_layers, body, (x, cache.k, cache.v)
         )
-        new_cache = KVCache(kv=new_kv)
+        new_cache = KVCache(k=new_k, v=new_v)
 
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
 

@@ -84,7 +84,8 @@ def _mpt_layer(
     cfg: MptConfig,
     bias: jnp.ndarray,  # [H, T] key-position ALiBi table
     mask: Optional[jnp.ndarray],
-    kv_cache: Optional[jnp.ndarray],
+    k_cache: Optional[jnp.ndarray],
+    v_cache: Optional[jnp.ndarray],
     write_slots: Optional[jnp.ndarray],
     q_slots: Optional[jnp.ndarray],
     layer: Optional[jnp.ndarray] = None,
@@ -92,11 +93,11 @@ def _mpt_layer(
     spec_verify: bool = False,
     prefill_start=0,
     attend_cache: bool = False,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """kv_cache is the FULL stacked [L, 2, B, T, H_kv, D] buffer with
-    `layer` selecting this layer's slab (in-place single-scatter update
-    pattern shared with models/llama.py — scan ys would copy the whole
-    cache per decode step). row_offset/spec_verify/prefill_start/attend_cache
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """k_cache/v_cache are FULL stacked [L, B, T, H_kv, D] buffers with
+    `layer` selecting this layer's slab (in-place update pattern shared
+    with models/llama.py — scan ys would copy the whole cache per decode
+    step). row_offset/spec_verify/prefill_start/attend_cache
     mirror llama._attention_layer's cache contract (per-slot engine prefill,
     suffix prefill over committed context, chunked prefill)."""
     b, s, d = x.shape
@@ -110,7 +111,7 @@ def _mpt_layer(
     k = qkv[..., d : d + n_kv * hd].reshape(b, s, n_kv, hd)
     v = qkv[..., d + n_kv * hd :].reshape(b, s, n_kv, hd)
 
-    if kv_cache is None:
+    if k_cache is None:
         if (
             mask is None
             and jax.default_backend() == "tpu"
@@ -134,27 +135,33 @@ def _mpt_layer(
             )
     else:
         if s > 1 and not spec_verify:
-            # contiguous right-padded prefill: one dus writes the K/V pair
+            # contiguous right-padded prefill: one dus per buffer
             # (see llama.py note); prefill_start offsets chunked pieces
-            kv_cache = jax.lax.dynamic_update_slice(
-                kv_cache,
-                jnp.stack([k, v], axis=0).astype(kv_cache.dtype)[None],
-                (layer, 0, row_offset, prefill_start, 0, 0),
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype)[None],
+                (layer, row_offset, prefill_start, 0, 0),
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype)[None],
+                (layer, row_offset, prefill_start, 0, 0),
             )
         else:
-            # ONE scatter writes both K and V rows (llama.py KVCache note);
+            # per-row scatter writes (llama.py KVCache note);
             # row indices offset for per-slot engine prefills
             batch_idx = row_offset + jnp.arange(b, dtype=jnp.int32)[:, None]
-            kv_cache = kv_cache.at[layer, :, batch_idx, write_slots].set(
-                jnp.stack([k, v], axis=2).astype(kv_cache.dtype)
+            k_cache = k_cache.at[layer, batch_idx, write_slots].set(
+                k.astype(k_cache.dtype)
+            )
+            v_cache = v_cache.at[layer, batch_idx, write_slots].set(
+                v.astype(v_cache.dtype)
             )
         if s > 1 and not spec_verify and not attend_cache:
             out = dot_product_attention(
                 q, k, v, causal=True, bias_k=bias[:, :s]
             )
         else:
-            slab = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
-            kl, vl = slab[0], slab[1]
+            kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
             if kl.shape[0] != b:
                 # per-slot block over a wider cache: read this row group only
                 kl = jax.lax.dynamic_slice_in_dim(kl, row_offset, b, axis=0)
@@ -172,7 +179,7 @@ def _mpt_layer(
 
     y = _ln(x, lp["norm2"])
     y = _dense(jax.nn.gelu(_dense(y, lp["up_proj"]), approximate=False), lp["down_proj"])
-    return x + y, kv_cache
+    return x + y, k_cache, v_cache
 
 
 def mpt_forward(
@@ -224,8 +231,8 @@ def mpt_forward(
             from teochat_tpu.parallel.pipeline import pipelined_scan_blocks
 
             def block_fn(xc, lp, mask_b):
-                y, _ = layer_fn(
-                    xc, lp, cfg, bias, mask_b, None, None, None
+                y, _, _ = layer_fn(
+                    xc, lp, cfg, bias, mask_b, None, None, None, None
                 )
                 return y
 
@@ -236,30 +243,31 @@ def mpt_forward(
             )
         else:
             def body(carry, lp):
-                y, _ = layer_fn(
-                    carry, lp, cfg, bias, attention_mask, None, None, None
+                y, _, _ = layer_fn(
+                    carry, lp, cfg, bias, attention_mask, None, None, None,
+                    None
                 )
                 return y, None
 
             x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
-        n_layers = cache.kv.shape[0]
+        n_layers = cache.k.shape[0]
 
         def body(l, carry):
-            y, kvc = carry
+            y, kc, vc = carry
             lp = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
                 params["layers"],
             )
-            y, kvc = _mpt_layer(
-                y, lp, cfg, bias, kv_mask, kvc, write_slots, q_slots, l,
+            y, kc, vc = _mpt_layer(
+                y, lp, cfg, bias, kv_mask, kc, vc, write_slots, q_slots, l,
                 cache_row_offset, spec_verify, prefill_start, attend_cache,
             )
-            return (y, kvc)
+            return (y, kc, vc)
 
-        x, nkv = jax.lax.fori_loop(0, n_layers, body, (x, cache.kv))
-        new_cache = KVCache(kv=nkv)
+        x, nk, nv = jax.lax.fori_loop(0, n_layers, body, (x, cache.k, cache.v))
+        new_cache = KVCache(k=nk, v=nv)
 
     x = _ln(x, params["final_norm"])
     if logits_mode == "none":

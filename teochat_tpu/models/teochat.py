@@ -244,6 +244,10 @@ class TEOChat:
                 temperature=gen.temperature,
                 do_sample=gen.do_sample,
                 top_p=gen.top_p,
+                draft_keep_prob=(
+                    None if gen.speculative_draft_keep_prob is None
+                    else jnp.float32(gen.speculative_draft_keep_prob)
+                ),
             )
             self.last_spec_stats = {
                 "steps": int(steps), "drafts_accepted": int(accepted),

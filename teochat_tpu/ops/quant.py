@@ -181,6 +181,109 @@ def quantize_llama_params(params: Dict, quantize_lm_head: bool = True) -> Dict:
     return out
 
 
+def quantize_kernel_host(kernel, int4: bool = False, layer_chunk: int = 8) -> Dict:
+    """Quantize a HOST (numpy) stacked kernel with bounded device memory.
+
+    The 7B load path: `layer_chunk` layers upload at a time and quantize
+    under jit (the amax/scale/round chain fuses — no fp32 materialization of
+    the whole group), so peak HBM during checkpoint ingestion is the
+    quantized tree plus ONE chunk (~0.7 GB), never the full fp16 decoder
+    (13.5 GB — more than a single v5e chip holds). Un-stacked 2-D kernels
+    (lm_head) are small and quantize whole."""
+    import numpy as np
+
+    fn = quantize_kernel_int4 if int4 else quantize_kernel
+    jfn = jax.jit(fn)
+    if getattr(kernel, "ndim", 2) < 3:
+        return jax.block_until_ready(jfn(jnp.asarray(kernel)))
+    n_layers = kernel.shape[0]
+    outs = []
+    for i in range(0, n_layers, layer_chunk):
+        chunk = jnp.asarray(np.asarray(kernel[i : i + layer_chunk]))
+        outs.append(jax.block_until_ready(jfn(chunk)))
+        del chunk
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
+
+def quantize_llama_params_host(
+    params: Dict,
+    int4: bool = False,
+    quantize_lm_head: bool = True,
+    fuse_projections: bool = True,
+    layer_chunk: int = 8,
+) -> Dict:
+    """quantize_llama_params / _int4 for a HOST (numpy) tree — the 7B-scale
+    checkpoint ingestion path (builder.load_pretrained_model).
+
+    Identical math and output layout to the device-tree versions; the
+    difference is memory discipline: projections stream to the device in
+    layer chunks (quantize_kernel_host) instead of uploading the whole fp16
+    decoder first, and int4 q|k|v / gate|up fusion concatenates on the host.
+    Non-quantized leaves (norm scales, embeddings) upload as-is at the end."""
+    import numpy as np
+
+    layers = dict(params["layers"])
+
+    def _plain(group, names):
+        return all(set(layers[group][n].keys()) == {"kernel"} for n in names)
+
+    if int4 and fuse_projections and _plain("attn", ("q", "k", "v")) and _plain(
+        "mlp", ("gate", "up")
+    ):
+        attn, mlp = layers["attn"], layers["mlp"]
+        qkv = np.concatenate(
+            [np.asarray(attn[n]["kernel"]) for n in ("q", "k", "v")], axis=-1
+        )
+        layers["attn"] = {
+            "qkv": quantize_kernel_host(qkv, int4=True, layer_chunk=layer_chunk),
+            "out": quantize_kernel_host(
+                attn["out"]["kernel"], int4=True, layer_chunk=layer_chunk
+            ),
+        }
+        del qkv
+        gateup = np.concatenate(
+            [np.asarray(mlp[n]["kernel"]) for n in ("gate", "up")], axis=-1
+        )
+        layers["mlp"] = {
+            "gateup": quantize_kernel_host(
+                gateup, int4=True, layer_chunk=layer_chunk
+            ),
+            "down": quantize_kernel_host(
+                mlp["down"]["kernel"], int4=True, layer_chunk=layer_chunk
+            ),
+        }
+        del gateup
+    else:
+        for group in _QUANT_TARGETS:
+            layers[group] = {
+                name: quantize_kernel_host(
+                    proj["kernel"], int4=int4, layer_chunk=layer_chunk
+                )
+                for name, proj in layers[group].items()
+            }
+    out = dict(params)
+    out["layers"] = {**layers}
+    if quantize_lm_head and "lm_head" in params:
+        out["lm_head"] = quantize_kernel_host(params["lm_head"]["kernel"], int4=int4)
+    return jax.tree.map(jnp.asarray, out)
+
+
+def quantize_mpt_params_host(params: Dict, layer_chunk: int = 8) -> Dict:
+    """quantize_mpt_params for a HOST (numpy) tree (see
+    quantize_llama_params_host for the memory discipline)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wqkv", "out_proj", "up_proj", "down_proj"):
+        proj = dict(layers[name])
+        q = quantize_kernel_host(proj.pop("kernel"), layer_chunk=layer_chunk)
+        q.update(proj)  # carry any bias leaf alongside the quantized kernel
+        layers[name] = q
+    out["layers"] = layers
+    return jax.tree.map(jnp.asarray, out)
+
+
 def quantize_mpt_params(params: Dict) -> Dict:
     """int8 weight-only quantization of the MPT decoder (models/mpt.py):
     the four projection kernels per block quantize (biases, norms, and the

@@ -170,3 +170,37 @@ def test_int4_fused_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(unfused), atol=1e-5, rtol=1e-5
     )
+
+
+def test_host_streaming_quantize_matches_eager():
+    """quantize_llama_params_host (the 7B chunked-upload ingestion path) must
+    match the eager device quantizers, for both int8 and fused int4,
+    including the lm_head: integer leaves bit-identical, scales to 1 ULP
+    (the host path's jitted quantizer fuses the /127 division, perturbing
+    the last mantissa bit)."""
+    from teochat_tpu.ops.quant import (
+        quantize_llama_params_host,
+        quantize_llama_params_int4,
+    )
+
+    def check(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=3e-7)
+
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_layers=3, num_heads=4, num_kv_heads=4, tie_word_embeddings=False,
+    )
+    params = init_llama(jax.random.PRNGKey(0), cfg)
+    host = jax.tree.map(np.asarray, params)
+
+    eager8 = quantize_llama_params(params)
+    host8 = quantize_llama_params_host(host, layer_chunk=2)  # ragged chunking
+    jax.tree.map(check, eager8, host8)
+
+    eager4 = quantize_llama_params_int4(params)
+    host4 = quantize_llama_params_host(host, int4=True, layer_chunk=2)
+    jax.tree.map(check, eager4, host4)

@@ -213,6 +213,25 @@ def test_spec_matches_plain_greedy_int4_weights():
     assert spec == base
 
 
+def test_spec_draft_corruption_keeps_greedy_parity(model):
+    """The bench's acceptance-forcing knob (draft_keep_prob) corrupts drafts
+    before verification — outputs must stay token-identical to plain greedy
+    at EVERY keep probability (corruption only changes scheduling), and lower
+    keep rates must not accept more drafts than verbatim drafting."""
+    ids = [[1, 5, 6, 7, 8] * 6]  # self-repetitive: drafts actually hit
+    base = model.generate(ids, None, _greedy(0, max_new=24))
+    accepted = {}
+    for keep in (1.0, 0.5, 0.0):
+        gen = dataclasses.replace(
+            _greedy(5, max_new=24), speculative_draft_keep_prob=keep
+        )
+        out = model.generate(ids, None, gen)
+        assert out == base, keep
+        accepted[keep] = model.last_spec_stats["drafts_accepted"]
+    assert accepted[0.0] == 0  # every draft corrupted -> none accepted
+    assert accepted[0.5] <= accepted[1.0]
+
+
 def test_spec_fuzz_parity(model):
     """Randomized prompts/batch shapes/k/max_new: speculative greedy must
     stay token-identical to plain greedy (fixed seed, deterministic)."""
