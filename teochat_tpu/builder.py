@@ -35,6 +35,7 @@ from teochat_tpu.config import (
 )
 from teochat_tpu.checkpoint import convert_hf
 from teochat_tpu.data.processing import ImageProcessor
+from teochat_tpu.data.processing_extra import VideoProcessor
 from teochat_tpu.models.teochat import TEOChat
 
 
@@ -155,6 +156,7 @@ def load_config(model_path: str) -> TEOChatConfig:
         # checkpoint gets <im_patch> added + a vocab resize at load time
         mm_use_im_patch_token=hf.get("mm_use_im_patch_token", True),
         image_aspect_ratio=hf.get("image_aspect_ratio", None),
+        video_decode_backend=hf.get("video_decode_backend", "opencv"),
         tokenizer_padding_side=hf.get("tokenizer_padding_side", "right"),
         tokenizer_model_max_length=hf.get("tokenizer_model_max_length", 3072),
         max_sequence_length=hf.get("max_sequence_length", 2048),
@@ -262,7 +264,10 @@ def _load_mpt_model(
     model = TEOChat(cfg, params, tokenizer=tokenizer)
     processor = {
         "image": ImageProcessor(size=cfg.vision.image_size),
-        "video": ImageProcessor(size=cfg.vision.image_size),
+        "video": VideoProcessor(
+            size=cfg.vision.image_size,
+            video_decode_backend=cfg.video_decode_backend,
+        ),
     }
     return tokenizer, model, processor, cfg.max_sequence_length
 
@@ -532,7 +537,10 @@ def load_pretrained_model(
     # processor geometry follows the tower (224 in production; tiny in tests)
     processor = {
         "image": ImageProcessor(size=cfg.vision.image_size),
-        "video": ImageProcessor(size=cfg.vision.image_size),
+        "video": VideoProcessor(
+            size=cfg.vision.image_size,
+            video_decode_backend=cfg.video_decode_backend,
+        ),
     }
     context_len = cfg.max_sequence_length
     return tokenizer, model, processor, context_len

@@ -238,6 +238,10 @@ class TEOChatConfig:
     tokenizer_padding_side: str = "right"
     tokenizer_model_max_length: int = 3072
     max_sequence_length: int = 2048
+    # Video decoder library (reference processing_video.py:26-114:
+    # opencv | decord | pytorchvideo); decord/pytorchvideo are optional
+    # imports behind guards in data/processing_extra.VideoProcessor
+    video_decode_backend: str = "opencv"
     # Runtime
     dtype: str = "bfloat16"
     quant: Optional[str] = None  # None | "int8"

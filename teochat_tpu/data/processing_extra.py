@@ -31,15 +31,40 @@ def uniform_frame_indices(total: int, num_frames: int) -> np.ndarray:
 
 class VideoProcessor:
     """Decode + subsample + per-frame image transform -> [T, 3, H, W] or
-    stacked [N, T, 3, H, W] via preprocess()."""
+    stacked [N, T, 3, H, W] via preprocess().
+
+    `video_decode_backend` mirrors the reference's three decoders
+    (processing_video.py:26-114: opencv | decord | pytorchvideo) — identical
+    transform math downstream, different decode libraries. decord and
+    pytorchvideo are optional imports (absent from this image) behind
+    guards; opencv is the default, as in the reference's eval configs.
+    An unknown backend raises NameError like the reference."""
+
+    BACKENDS = ("opencv", "decord", "pytorchvideo")
 
     def __init__(self, num_frames: int = 8, size: int = 224,
-                 random_flip: bool = False):
+                 random_flip: bool = False,
+                 video_decode_backend: str = "opencv"):
+        if video_decode_backend not in self.BACKENDS:
+            # reference raises NameError with this wording
+            # (processing_video.py:66-67)
+            raise NameError(
+                "video_decode_backend should specify in "
+                "(pytorchvideo, decord, opencv)"
+            )
         self.num_frames = num_frames
         self.image = ImageProcessor(size=size)
         self.random_flip = random_flip
+        self.video_decode_backend = video_decode_backend
 
     def _decode(self, path: str) -> List[np.ndarray]:
+        if self.video_decode_backend == "decord":
+            return self._decode_decord(path)
+        if self.video_decode_backend == "pytorchvideo":
+            return self._decode_pytorchvideo(path)
+        return self._decode_opencv(path)
+
+    def _decode_opencv(self, path: str) -> List[np.ndarray]:
         import cv2
 
         cap = cv2.VideoCapture(path)
@@ -60,6 +85,39 @@ class VideoProcessor:
         while len(ordered) < self.num_frames:  # short video: repeat last
             ordered.append(ordered[-1])
         return ordered
+
+    def _decode_decord(self, path: str) -> List[np.ndarray]:
+        """decord VideoReader.get_batch over linspace ids
+        (processing_video.py:90-97)."""
+        try:
+            from decord import VideoReader, cpu
+        except ImportError as e:
+            raise ImportError(
+                "video_decode_backend='decord' but decord is not installed; "
+                "use the default 'opencv' backend"
+            ) from e
+        vr = VideoReader(path, ctx=cpu(0))
+        ids = uniform_frame_indices(len(vr), self.num_frames)
+        batch = vr.get_batch(ids.tolist())
+        arr = batch.asnumpy() if hasattr(batch, "asnumpy") else np.asarray(batch)
+        return [arr[i] for i in range(arr.shape[0])]  # already RGB [H, W, 3]
+
+    def _decode_pytorchvideo(self, path: str) -> List[np.ndarray]:
+        """pytorchvideo EncodedVideo clip + uniform temporal subsample
+        (processing_video.py:79-87)."""
+        try:
+            from pytorchvideo.data.encoded_video import EncodedVideo
+        except ImportError as e:
+            raise ImportError(
+                "video_decode_backend='pytorchvideo' but pytorchvideo is not "
+                "installed; use the default 'opencv' backend"
+            ) from e
+        video = EncodedVideo.from_path(path, decode_audio=False)
+        clip = video.get_clip(start_sec=0.0, end_sec=video.duration)
+        data = clip["video"]  # [C, T, H, W] torch tensor
+        arr = np.asarray(data.permute(1, 2, 3, 0).cpu())  # -> [T, H, W, C]
+        ids = uniform_frame_indices(arr.shape[0], self.num_frames)
+        return [arr[i].astype(np.uint8) for i in ids]
 
     def _transform_one(self, video) -> np.ndarray:
         if isinstance(video, str):

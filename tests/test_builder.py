@@ -152,6 +152,9 @@ def test_load_merged_checkpoint(ckpt_dir, monkeypatch):
     assert ctx == 128
     assert tokenizer("w5 w6").input_ids is not None
     assert "image" in processor
+    # config-selected video decode backend reaches the processor
+    # (reference processing_video.py:26-114 backend switch)
+    assert processor["video"].video_decode_backend == "opencv"
     # generate end-to-end from the loaded weights
     out = model.generate(
         [[1, 5, -200, 9]],

@@ -118,6 +118,32 @@ def test_video_processor_decodes_file(tmp_path):
     assert (np.diff(means) > 0).all()
 
 
+def test_video_decode_backend_switch(tmp_path):
+    """Backend dispatch mirrors reference processing_video.py:26-114:
+    opencv | decord | pytorchvideo; unknown -> NameError (ref :66-67);
+    absent optional library -> ImportError naming the fallback."""
+    with pytest.raises(NameError):
+        VideoProcessor(video_decode_backend="nvdec")
+
+    # decord / pytorchvideo are not in this image: the guard must raise a
+    # helpful ImportError at decode time, not at construction
+    for backend in ("decord", "pytorchvideo"):
+        vp = VideoProcessor(num_frames=2, size=28, video_decode_backend=backend)
+        try:
+            vp._decode(str(tmp_path / "missing.mp4"))
+        except ImportError as e:
+            assert "opencv" in str(e)
+        else:  # pragma: no cover - only if the library exists in the image
+            pass
+
+    # default stays opencv and is accepted explicitly
+    assert VideoProcessor().video_decode_backend == "opencv"
+    assert (
+        VideoProcessor(video_decode_backend="opencv").video_decode_backend
+        == "opencv"
+    )
+
+
 def test_audio_tower_rectangular_geometry():
     """LanguageBind_Audio = same ViT over a rectangular mel spectrogram
     (reference modeling_audio.py:798: image_size=[num_mel_bins, target_length])."""
