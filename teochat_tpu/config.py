@@ -164,6 +164,9 @@ class MptConfig:
     # decode-time cache sequence sharding: not implemented for MPT (the ALiBi
     # bias table would need per-shard offsets); kept for init_cache's contract
     cache_sequence_axis: Optional[str] = None
+    # from-scratch init scheme (reference configuration_mpt.py:5 defaults,
+    # param_init_fns.py registry); None keeps init_mpt's simple normal(0.02)
+    init_config: Optional[dict] = None
 
     # llama.init_cache / generation.py cache-contract aliases
     @property

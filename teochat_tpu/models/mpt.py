@@ -294,7 +294,32 @@ def mpt_embed(params: Params, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray
     return jnp.take(emb, input_ids, axis=0)
 
 
+NUM_SENTINEL_TOKENS = 100  # reference mpt/adapt_tokenizer.py:4
+
+
+def adapt_tokenizer_for_denoising(tokenizer) -> None:
+    """Add <extra_id_0..99> sentinels + a <pad> token for MPT
+    mixture-of-denoiser training (reference mpt/adapt_tokenizer.py:6-23).
+    Idempotent: add_tokens skips existing entries. Sets
+    ``tokenizer.sentinel_token_ids`` like the reference."""
+    sentinels = [f"<extra_id_{i}>" for i in range(NUM_SENTINEL_TOKENS)]
+    tokenizer.add_tokens(sentinels, special_tokens=True)
+    if getattr(tokenizer, "pad_token", None) is None:
+        tokenizer.add_tokens("<pad>", special_tokens=True)
+        tokenizer.pad_token = "<pad>"
+        assert tokenizer.pad_token_id is not None
+    joined = "".join(sentinels)
+    tokenizer.sentinel_token_ids = tokenizer(
+        joined, add_special_tokens=False
+    ).input_ids
+
+
 def init_mpt(rng: jax.Array, cfg: MptConfig, dtype=jnp.float32) -> Params:
+    if cfg.init_config is not None:
+        # named scheme from the reference's param-init registry
+        from teochat_tpu.models.mpt_init import init_mpt_params
+
+        return init_mpt_params(rng, cfg, dtype=dtype)
     keys = iter(jax.random.split(rng, 16))
     d, L = cfg.d_model, cfg.n_layers
     h = cfg.n_heads
