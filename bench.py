@@ -83,7 +83,10 @@ def phase_encode():
     vp = vit_mod.init_vit(jax.random.PRNGKey(0), cfg.vision, dtype=jnp.bfloat16)
     pp = init_projector(jax.random.PRNGKey(1), cfg.projector, dtype=jnp.bfloat16)
     params = {"vision": vp, "projector": pp}
-    enc_batch = 32  # measured sweet spot on v5e (16: ~600 f/s, 32: ~625 f/s)
+    # measured sweet spot (r4 sweep on the tunnel chip, see TODO.md):
+    # 16: 604, 32: 657, 64: 635, 128: 580 f/s — 32 is the peak (larger
+    # batches start spilling the 257-token activations), so keep 32.
+    enc_batch = int(os.environ.get("BENCH_ENC_BATCH", "32"))
     frames = jnp.asarray(
         np.random.RandomState(0).randn(enc_batch, 3, 224, 224), jnp.bfloat16
     )
@@ -384,11 +387,16 @@ def phase_serve():
     gen = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
                            do_sample=False, stop_strings=())
     prompts = [[1] + list(range(10 + i, 10 + i + 120)) for i in range(n_req)]
-    # chunk=16: each chunk call carries ~39 ms of fixed dispatch/tunnel
-    # overhead on top of 13.4 ms/step device time (measured), so throughput
-    # workloads want bigger chunks; latency-sensitive ones want smaller
-    # (admission waits up to one chunk).
-    engine = BatchEngine(model, max_slots=8, max_len=512, chunk=16).start()
+    # Each chunk call carries ~39 ms of fixed dispatch/tunnel overhead on
+    # top of 13.4 ms/step device time, so throughput workloads want bigger
+    # chunks; latency-sensitive ones want smaller (admission waits up to one
+    # chunk). r4 sweep (aggregate tok/s over 8 streams x 64 new tokens):
+    # chunk 8: 336.0, 16: 333.8, 64: 348.5, 128: 238.1 (past max_new the
+    # engine decodes tokens nobody needs); chunk=32 repeated runs gave
+    # {368.3, 308.3, 299.2} — high cross-process variance, median BELOW
+    # chunk=16's stable {333.8, 335.4, 336.0}. Keep 16.
+    chunk = int(os.environ.get("BENCH_SERVE_CHUNK", "16"))
+    engine = BatchEngine(model, max_slots=8, max_len=512, chunk=chunk).start()
     try:
         engine.submit(prompts[0], None, gen)  # warmup: compile prefill+chunk
 

@@ -11,9 +11,12 @@ persistent KV cache:
 - decode runs in jitted CHUNKS of `chunk` tokens over all slots (measured on
   the v5e tunnel: each chunk CALL costs ~39 ms fixed dispatch overhead plus
   ~13.4 ms/step of device time at bs=8, so per-token host scheduling would
-  cap the engine around 70 tok/s; bigger chunks amortize the fixed cost —
-  chunk=16 for throughput — at the cost of admission latency and up to
-  chunk-1 wasted steps after a row finishes);
+  cap the engine around 70 tok/s; bigger chunks amortize the fixed cost at
+  the cost of admission latency and up to chunk-1 wasted steps after a row
+  finishes. r4 sweep, 8 streams x 64 new tokens, aggregate tok/s:
+  chunk 8: 336, 16: 334, 64: 349, 128: 238, with chunk=32 repeats
+  {368, 308, 299} — cross-process tunnel variance swamps the chunk choice
+  in the 8..64 range; the default stays 8 for admission latency);
 - admission/completion happens on the host at chunk boundaries: finished rows
   free their slot, queued requests prefill into free slots;
 - greedy rows reproduce the single-request outputs EXACTLY (same kernels,
@@ -431,6 +434,9 @@ class BatchEngine:
         self._slots: List[Optional[_Request]] = [None] * max_slots
         # admissions whose first token has been dispatched but not yet read
         self._pending_first: List[tuple] = []
+        # the dispatched-but-not-yet-read decode chunk: (snapshot, outputs).
+        # Depth-1 pipeline — see _step_once.
+        self._inflight: Optional[tuple] = None
         self._lock = threading.Lock()
         self._stop = False
         self._thread: Optional[threading.Thread] = None
@@ -534,11 +540,24 @@ class BatchEngine:
             if not made_progress and self._stop:
                 return
 
-    # One scheduling iteration: admit, dispatch one decode chunk, overlap
-    # further admissions' host work + prefill dispatch with the chunk's device
-    # time, then read results. Dispatches are async — the only blocking reads
-    # are the chunk tokens and pending first tokens at the end.
+    # One scheduling iteration, pipelined one chunk deep: dispatch chunk N+1
+    # BEFORE reading chunk N's tokens, so the ~39 ms fixed tunnel round-trip
+    # of the token download overlaps chunk N+1's device time instead of
+    # serializing with it. Chunk N+1 depends only on device-resident state
+    # (cache + scheduler state via the donation chain), never on the host's
+    # reading of chunk N, so the dispatch is safe; the cost is up to one
+    # extra chunk of wasted decode after a HOST-decided stop (stop string /
+    # max_new_tokens) — those rows stay active device-side one chunk longer,
+    # their tokens are discarded against the dispatch-time snapshot, and
+    # position-overflow writes clamp into the trash K/V slot. EOS rows
+    # self-deactivate in-program and lose nothing. Admissions' prefills queue
+    # behind the in-flight chunk (donation order), adding up to one chunk of
+    # device time to TTFT — the --chunk knob trades this against throughput.
     def _step_once(self, block: bool = False) -> bool:
+        if block:
+            # about to block on the queue: deliver any in-flight chunk first
+            # (its requests may finish and their callers are waiting)
+            self._flush_inflight()
         admitted = self._admit(block=block)
         # the slots THIS chunk decodes: mid-prefill rows are captured as None
         # (inactive in the device state at dispatch time, they emit pads —
@@ -551,6 +570,7 @@ class BatchEngine:
         if not decoding:
             # nothing to decode between pieces -> run any in-progress chunked
             # prefills to completion (no running stream to protect)
+            self._flush_inflight()
             self._advance_prefills(drain=True)
             self._resolve_pending_first()
             return admitted or any(r is not None for r in self._slots)
@@ -566,9 +586,19 @@ class BatchEngine:
         # long any admission can occupy the device between decode chunks.
         self._admit(block=False)
         self._advance_prefills()
+        # apply the PREVIOUS chunk's results (already finished on device — the
+        # chunk just dispatched is running behind it), then park this one
+        prev, self._inflight = self._inflight, (snapshot, chunk_out)
+        if prev is not None:
+            self._apply_chunk(*prev)
         self._resolve_pending_first()
-        self._apply_chunk(snapshot, chunk_out)
         return True
+
+    def _flush_inflight(self):
+        """Apply the parked in-flight chunk's results (blocking download)."""
+        if self._inflight is not None:
+            prev, self._inflight = self._inflight, None
+            self._apply_chunk(*prev)
 
     def _admit(self, block: bool) -> bool:
         admitted = False

@@ -328,6 +328,12 @@ def main(argv=None):
                    help="multiplex concurrent requests over per-request KV slots")
     p.add_argument("--max_slots", type=int, default=4)
     p.add_argument("--max_len", type=int, default=2048)
+    p.add_argument("--chunk", type=int, default=8,
+                   help="decode chunk: jitted steps between host scheduling "
+                        "points (engine mode only). Small chunks minimize "
+                        "admission latency; larger ones amortize dispatch "
+                        "overhead (r4 sweep: throughput is flat 8..64, "
+                        "~335-350 tok/s over 8 streams, then falls off)")
     p.add_argument("--prefill_chunk", type=int, default=None,
                    help="chunked prefill: commit long-prompt K/V in pieces of "
                         "this many fused tokens, one piece per decode chunk, "
@@ -350,6 +356,7 @@ def main(argv=None):
 
         engine = BatchEngine(
             chat.model, max_slots=args.max_slots, max_len=args.max_len,
+            chunk=args.chunk,
             speculative_k=args.speculative_k,
             prefill_chunk=args.prefill_chunk,
         ).start()

@@ -345,6 +345,42 @@ def test_engine_soak_slot_recycling(model):
         engine.shutdown()
 
 
+def test_engine_stop_string_and_slot_reuse(model):
+    """Host-decided stops under the depth-1 chunk pipeline: when a stop
+    string fires, the already-dispatched in-flight chunk keeps decoding the
+    dead row — its tokens must be discarded, and the freed slot must be
+    safely reusable by a later request (token parity with generate)."""
+    gen_free = GenerationConfig(max_new_tokens=8, temperature=0.0,
+                                do_sample=False, stop_strings=())
+    (ids, frames), (ids2, frames2) = _prompts(model, 2)
+    full = list(map(int, model.generate([ids], frames, gen_free)[0]))
+    assert len(full) >= 3  # random-init tiny model: no early EOS expected
+    # stop on the exact text of the 2nd generated token (engine semantics:
+    # append token, decode all generated so far, stop when any stop string
+    # is a substring) — compute the expected prefix with the same rule
+    stop = model.tokenizer.decode([full[1]])
+    expected = []
+    for t in full:
+        expected.append(t)
+        if stop in model.tokenizer.decode(expected):
+            break
+    assert len(expected) < len(full)  # the stop actually truncates
+    gen_stop = GenerationConfig(max_new_tokens=8, temperature=0.0,
+                                do_sample=False, stop_strings=(stop,))
+    engine = BatchEngine(model, max_slots=1, max_len=64, chunk=4).start()
+    try:
+        got = engine.submit(ids, frames, gen_stop)
+        assert got == expected
+        # the slot freed by the host-side stop is reused while the pipelined
+        # garbage chunk may still be in flight: outputs must stay exact
+        ref2 = list(map(int, model.generate([ids2], frames2, gen_free)[0]))
+        assert engine.submit(ids2, frames2, gen_free) == ref2
+        # and the stopped request again, byte-identical
+        assert engine.submit(ids, frames, gen_stop) == expected
+    finally:
+        engine.shutdown()
+
+
 def test_engine_max_new_tokens_one(model):
     """A request finishing at its (deferred) first token: the prefill's token
     must be the only output, and the chunk that may have run concurrently
