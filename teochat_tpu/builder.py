@@ -373,6 +373,7 @@ def load_pretrained_model(
     cache_dir: Optional[str] = None,
     vision_path: Optional[str] = None,
     allow_partial: bool = False,
+    quantize_vision: bool = False,
     **kwargs,
 ) -> Tuple[Any, TEOChat, Dict[str, ImageProcessor], int]:
     """Load tokenizer + TEOChat model + processors (reference builder.py:27).
@@ -520,6 +521,14 @@ def load_pretrained_model(
         for k, v in (("vision", vision_params), ("projector", proj_params))
         if v is not None
     }
+    if quantize_vision and "vision" in params:
+        # w8a8 encode path: int8 projections ride the v5e MXU's 2x int8
+        # rate (+19% measured encode throughput at bs=32). Opt-in — the
+        # reference's load_8bit quantizes only the LLM (builder.py:90-112),
+        # so exact-parity flows leave this off.
+        from teochat_tpu.ops.quant import quantize_vit_params
+
+        params["vision"] = quantize_vit_params(params["vision"])
     if load_8bit or load_int4:
         # stream projections host->device in layer chunks: uploading the
         # whole fp16 7B decoder before quantizing would exceed a single

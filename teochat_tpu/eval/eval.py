@@ -51,7 +51,8 @@ DATASET_NAME_TO_HF_SPLIT = {
 
 
 def load_model(model_path, model_base=None, load_8bit=False, load_4bit=False,
-               cache_dir=None, device=None, vision_path=None, load_int4=False):
+               cache_dir=None, device=None, vision_path=None, load_int4=False,
+               quantize_vision=False):
     """(tokenizer, model, image_processor) — reference eval.py:15-34."""
     from teochat_tpu.builder import load_pretrained_model
 
@@ -59,6 +60,7 @@ def load_model(model_path, model_base=None, load_8bit=False, load_4bit=False,
         model_path, model_base, get_model_name_from_path(model_path),
         load_8bit=load_8bit, load_4bit=load_4bit, load_int4=load_int4,
         device=device, cache_dir=cache_dir, vision_path=vision_path,
+        quantize_vision=quantize_vision,
     )
     return tokenizer, model, processor["image"]
 
@@ -70,6 +72,7 @@ def eval(
     load_8bit: bool = False,
     load_4bit: bool = False,
     load_int4: bool = False,
+    quantize_vision: bool = False,
     cache_dir: Optional[str] = None,
     data_cache_dir: Optional[str] = None,
     out_name: Optional[str] = None,
@@ -127,7 +130,7 @@ def eval(
             tokenizer, model, processor = load_model(
                 model_path, model_base, load_8bit=load_8bit, load_4bit=load_4bit,
                 load_int4=load_int4, cache_dir=cache_dir, device=device,
-                vision_path=vision_path,
+                vision_path=vision_path, quantize_vision=quantize_vision,
             )
         if dataset is None:
             from datasets import load_dataset
@@ -165,6 +168,9 @@ def main(argv=None):
     parser.add_argument("--load_8bit", action="store_true")
     parser.add_argument("--load_4bit", action="store_true")
     parser.add_argument("--load_int4", action="store_true")
+    parser.add_argument("--quantize_vision", action="store_true",
+                        help="w8a8 int8 vision tower (2x int8 MXU rate, "
+                             "+19%% encode; metric-parity, not bit-parity)")
     parser.add_argument("--cache_dir", type=str, default=None)
     parser.add_argument("--data_cache_dir", type=str, default=None)
     parser.add_argument("--out_name", type=str, default=None)

@@ -44,8 +44,15 @@ def _layer_norm(x: jnp.ndarray, p: Params, eps: float) -> jnp.ndarray:
 
 
 def _dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if "scale" in p:
+        # w8a8 projection (ops/quant.py::quantize_vit_params): encode is
+        # compute-bound, so int8 activations ride the 2x int8 MXU rate.
+        from teochat_tpu.ops.quant import quantized_proj_act_i8
+
+        y = quantized_proj_act_i8(x, p)
+    else:
+        y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y
@@ -55,6 +62,11 @@ def _attn_block(x: jnp.ndarray, p: Params, cfg: VisionConfig) -> jnp.ndarray:
     """CLIP bidirectional self-attention. x: [B, N, D]."""
     b, n, _ = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
+    # NOTE: quantize-time qkv fusion (one [d,3d] int8 matmul + single act
+    # quantize) was A/B'd on v5e at encode bs=32 and LOSES: 736.9 f/s
+    # ([..., :d] splits) / 473.6 ([:,:,i] splits) vs 778.7 unfused — XLA
+    # already shares the act-quantize across the three matmuls, and the
+    # wide output's re-split costs more than the fusion saves.
     q = _dense(x, p["q"]).reshape(b, n, h, hd)
     k = _dense(x, p["k"]).reshape(b, n, h, hd)
     v = _dense(x, p["v"]).reshape(b, n, h, hd)

@@ -181,6 +181,42 @@ def quantize_llama_params(params: Dict, quantize_lm_head: bool = True) -> Dict:
     return out
 
 
+_VIT_QUANT_GROUPS = ("attn", "temporal_attn", "mlp")
+
+
+def quantize_vit_params(params: Dict) -> Dict:
+    """Quantize the ViT encoder's projection kernels for the w8a8 encode path.
+
+    The vision tower is COMPUTE-bound at serving batch sizes (bs=32 encode
+    runs the bf16 MXU at ~51% of peak), so unlike the decode path the win
+    here is the int8 systolic rate (2x bf16 on v5e), not bandwidth: both
+    weights AND activations quantize, and `vit._dense` dispatches to
+    `quantized_proj_act_i8` on the `scale` key. Per-output-channel weight
+    scales + per-token activation scales; biases/LayerNorms/embeddings and
+    the (flop-trivial) patch embedding stay fp. The reference never
+    quantizes its tower (builder.py load_8bit touches only the LLM) — this
+    is a TPU-native opt-in for encode-throughput workloads, metric-parity
+    not bit-parity (bounded in tests/test_quant.py::test_vit_w8a8_*).
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for group in _VIT_QUANT_GROUPS:
+        if group not in layers:
+            continue
+        # Unfused q/k/v on purpose: quantize-time qkv fusion (one [d,3d]
+        # int8 matmul, single act quantize) measured SLOWER on v5e — see the
+        # A/B note in vit._attn_block.
+        g = {}
+        for name, proj in layers[group].items():
+            q = quantize_kernel(proj["kernel"])
+            if "bias" in proj:
+                q["bias"] = proj["bias"]
+            g[name] = q
+        layers[group] = g
+    out["layers"] = {**layers}
+    return out
+
+
 def quantize_kernel_host(kernel, int4: bool = False, layer_chunk: int = 8) -> Dict:
     """Quantize a HOST (numpy) stacked kernel with bounded device memory.
 

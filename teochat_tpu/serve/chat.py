@@ -146,6 +146,7 @@ class Chat:
         model_path: Optional[str] = None,
         conv_mode: str = "v1",
         load_8bit: bool = True,
+        quantize_vision: bool = False,
         model_bundle=None,
         vision_path: Optional[str] = None,
         incremental: bool = True,
@@ -157,7 +158,8 @@ class Chat:
             from teochat_tpu.eval.eval import load_model
 
             self.tokenizer, self.model, self.processor = load_model(
-                model_path, load_8bit=load_8bit, vision_path=vision_path
+                model_path, load_8bit=load_8bit, vision_path=vision_path,
+                quantize_vision=quantize_vision,
             )
         self.conv_mode = conv_mode
         # incremental: keep one KV cache across turns and prefill only each

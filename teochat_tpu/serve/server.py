@@ -322,6 +322,9 @@ def main(argv=None):
     p.add_argument("--model_path", required=True)
     p.add_argument("--vision_path", default=None)
     p.add_argument("--load_8bit", action="store_true", default=True)
+    p.add_argument("--quantize_vision", action="store_true",
+                   help="w8a8 int8 vision tower: +19% encode throughput on "
+                        "v5e (metric-parity, not bit-parity)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--continuous_batching", action="store_true",
@@ -349,7 +352,9 @@ def main(argv=None):
 
     from teochat_tpu.serve.chat import Chat
 
-    chat = Chat(args.model_path, load_8bit=args.load_8bit, vision_path=args.vision_path)
+    chat = Chat(args.model_path, load_8bit=args.load_8bit,
+                vision_path=args.vision_path,
+                quantize_vision=args.quantize_vision)
     engine = None
     if args.continuous_batching:
         from teochat_tpu.serve.engine import BatchEngine

@@ -204,3 +204,66 @@ def test_host_streaming_quantize_matches_eager():
     eager4 = quantize_llama_params_int4(params)
     host4 = quantize_llama_params_host(host, int4=True, layer_chunk=2)
     jax.tree.map(check, eager4, host4)
+
+
+def test_vit_w8a8_forward_close_to_fp32():
+    """w8a8 vision tower (quantize_vit_params + vit._dense dispatch):
+    metric-parity with the fp32 tower — cosine > 0.999 and bounded rel
+    error on the select_layer hidden states, for both the image tower and
+    the temporal-attention video tower (temporal_attn kernels quantize too)."""
+    from teochat_tpu.config import VisionConfig
+    from teochat_tpu.models import vit
+    from teochat_tpu.ops.quant import quantize_vit_params
+
+    for cfg, bt, frames in (
+        (VisionConfig(image_size=28, patch_size=14, hidden_size=64,
+                      intermediate_size=128, num_layers=4, num_heads=4),
+         2, 1),
+        (VisionConfig(image_size=28, patch_size=14, hidden_size=64,
+                      intermediate_size=128, num_layers=2, num_heads=4,
+                      add_time_attn=True, num_frames=2),
+         4, 2),
+    ):
+        p = vit.init_vit(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (bt, 3, 28, 28))
+        ref = vit.vit_forward(p, cfg, x, num_frames=frames)
+        q = quantize_vit_params(p)
+        got = vit.vit_forward(q, cfg, x, num_frames=frames)
+        rel = float(jnp.max(jnp.abs(got - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+        cos = float(jnp.sum(got * ref)
+                    / (jnp.linalg.norm(got) * jnp.linalg.norm(ref) + 1e-9))
+        assert rel < 0.05, rel
+        assert cos > 0.999, cos
+        # projection kernels quantized in-place; structure otherwise intact
+        assert q["layers"]["attn"]["q"]["kernel"].dtype == jnp.int8
+        assert "scale" in q["layers"]["mlp"]["fc1"]
+        assert "bias" in q["layers"]["attn"]["q"]
+        if cfg.add_time_attn:
+            assert q["layers"]["temporal_attn"]["q"]["kernel"].dtype == jnp.int8
+        assert q["patch_embedding"]["kernel"].dtype == p["patch_embedding"]["kernel"].dtype
+
+
+def test_vit_w8a8_full_pipeline_encode():
+    """The quantized tower drives the full encode_frames path (tower +
+    feature select + projector) without shape/dtype surprises."""
+    from teochat_tpu.config import TEOChatConfig, VisionConfig, ProjectorConfig
+    from teochat_tpu.models import teochat as teochat_mod, vit
+    from teochat_tpu.models.projector import init_projector
+    from teochat_tpu.ops.quant import quantize_vit_params
+    import dataclasses
+
+    cfg = TEOChatConfig()
+    vis = VisionConfig(image_size=28, patch_size=14, hidden_size=64,
+                       intermediate_size=128, num_layers=3, num_heads=4)
+    proj = dataclasses.replace(cfg.projector, mm_hidden_size=64, hidden_size=32)
+    cfg = dataclasses.replace(cfg, vision=vis, projector=proj)
+    vp = vit.init_vit(jax.random.PRNGKey(0), vis, dtype=jnp.bfloat16)
+    pp = init_projector(jax.random.PRNGKey(1), proj, dtype=jnp.bfloat16)
+    frames = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 28, 28), jnp.bfloat16)
+    ref = teochat_mod.encode_frames({"vision": vp, "projector": pp}, cfg, frames)
+    got = teochat_mod.encode_frames(
+        {"vision": quantize_vit_params(vp), "projector": pp}, cfg, frames)
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    r, g = ref.astype(jnp.float32), got.astype(jnp.float32)
+    cos = float(jnp.sum(r * g) / (jnp.linalg.norm(r) * jnp.linalg.norm(g) + 1e-9))
+    assert cos > 0.99, cos
