@@ -492,6 +492,60 @@ def phase_ttft_turn2():
     return {"ttft_s_turn2_suffix64_over640": dt}
 
 
+def phase_ttft_prefix():
+    """Automatic-prefix-caching TTFT: prompts sharing a 512-token text prefix
+    (a long system prompt) seed their KV from the engine's prefix pool and
+    prefill only the suffix. Reports miss vs hit TTFT through the full engine
+    admission path (queue + encode + prefill + first-token read)."""
+    import time as _time
+
+    import jax
+    from teochat_tpu.config import GenerationConfig, TEOChatConfig
+    from teochat_tpu.models import teochat as teochat_mod
+    from teochat_tpu.ops.quant import random_int8_llama
+    from teochat_tpu.serve.engine import BatchEngine
+
+    cfg = TEOChatConfig()
+    llm = random_int8_llama(jax.random.PRNGKey(0), cfg.llm)
+    jax.block_until_ready(llm)
+    model = teochat_mod.TEOChat(cfg, {"llm": llm})
+    gen = GenerationConfig(max_new_tokens=1, temperature=0.0,
+                           do_sample=False, stop_strings=())
+
+    def prefix(base):
+        return [1] + list(range(base, base + 511))  # 512-token shared run
+
+    def prompt(base, i):
+        return prefix(base) + [2000 + i, 2100 + i, 5 + i]
+
+    engine = BatchEngine(model, max_slots=2, max_len=1024, chunk=4,
+                         prefix_cache_slots=4, prefix_min_tokens=32).start()
+    try:
+        # warm both paths' programs: miss prefill (768 bucket), pool store
+        # copy, hit copy + suffix tail (32 bucket)
+        engine.submit(prompt(100, 0), None, gen)
+        engine.submit(prompt(100, 1), None, gen)
+
+        def timed(base, i):
+            t0 = _time.perf_counter()
+            engine.submit(prompt(base, i), None, gen)
+            return _time.perf_counter() - t0
+
+        # misses: distinct prefixes, same shapes (no recompile)
+        miss = sorted(timed(b, 0) for b in (3000, 5000, 7000))[1]
+        # hits: fresh suffixes over the already-pooled base=100 prefix
+        hit = sorted(timed(100, i) for i in (2, 3, 4))[1]
+        saved = engine.stats["prefix_tokens_saved"]
+        return {
+            "ttft_s_prefix_miss_515tok": miss,
+            "ttft_s_prefix_hit_515tok": hit,
+            "prefix_hit_ttft_speedup": miss / hit,
+            "prefix_tokens_saved": saved,
+        }
+    finally:
+        engine.shutdown()
+
+
 def phase_train():
     """One LoRA train step on the flagship recipe shapes (reference
     train_teochat.sh: 8-bit backbone + LoRA r=128/a=256 + trainable projector,
@@ -645,6 +699,7 @@ PHASES = {
     "decode_spec": phase_decode_spec,
     "ttft_int8act": phase_ttft_int8act,
     "ttft_turn2": phase_ttft_turn2,
+    "ttft_prefix": phase_ttft_prefix,
     "serve": phase_serve,
     "train": phase_train,
     "e2e": phase_e2e,
@@ -661,7 +716,7 @@ PHASES = {
 PHASE_ORDER = (
     "decode", "preprocess", "decode_bs8", "decode_bs16", "decode_bs32",
     "encode", "e2e", "serve", "train", "decode_int4", "ttft_int8act",
-    "ttft_turn2", "decode_spec",
+    "ttft_turn2", "decode_spec", "ttft_prefix",
 )
 
 # Conservative warm-cache wall-clock estimates per phase (seconds), including
@@ -671,7 +726,7 @@ PHASE_EST_S = {
     "decode": 110, "encode": 70, "e2e": 80, "serve": 130, "train": 150,
     "decode_int4": 200, "ttft_int8act": 70, "ttft_turn2": 70,
     "decode_spec": 110, "decode_bs8": 100, "decode_bs16": 100,
-    "decode_bs32": 120, "preprocess": 25,
+    "decode_bs32": 120, "preprocess": 25, "ttft_prefix": 110,
 }
 
 # Round 2 lesson (BENCH_r02.json rc=124/parsed=null): the 12-phase serial run
@@ -766,6 +821,9 @@ EXTRA_SPEC = (
     ("serve_aggregate_tokens_per_sec_8streams", "serve_aggregate_tokens_per_sec_8streams", "serve", 1),
     ("preprocess_native_frames_per_sec_host", "preprocess_native_frames_per_sec", "preprocess", 1),
     ("preprocess_pil_frames_per_sec_host", "preprocess_pil_frames_per_sec", "preprocess", 1),
+    ("ttft_s_prefix_miss_515tok", "ttft_s_prefix_miss_515tok", "ttft_prefix", 4),
+    ("ttft_s_prefix_hit_515tok", "ttft_s_prefix_hit_515tok", "ttft_prefix", 4),
+    ("prefix_hit_ttft_speedup", "prefix_hit_ttft_speedup", "ttft_prefix", 2),
 )
 
 

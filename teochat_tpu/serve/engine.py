@@ -170,6 +170,34 @@ def _prefill_slot_tail(params, cache, state, cfg, emb, pos_ids, seq_len,
 _fuse_embeds = jax.jit(teochat_mod.fuse_embeds)
 
 
+@partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
+def _copy_cache_row(cache, src_row, dst_row, length):
+    """Copy KV slots [0, length) of cache row src_row into row dst_row, in
+    place (donated). One program serves both prefix-cache directions: storing
+    a freshly prefilled prompt prefix into a pool row, and seeding a new
+    request's slot from a pool hit. `length` is bucketed by the caller so the
+    compile count stays bounded; copying past the prefix's valid slots is
+    harmless (see BatchEngine prefix-cache notes: every garbage slot is
+    overwritten by the suffix panel or by a decode write before anything
+    attends it)."""
+    zero = jnp.asarray(0, jnp.int32)
+    starts = (zero, src_row, zero, zero, zero)
+    sizes_k = (cache.k.shape[0], 1, length, cache.k.shape[3], cache.k.shape[4])
+    k = jax.lax.dynamic_slice(cache.k, starts, sizes_k)
+    v = jax.lax.dynamic_slice(cache.v, starts, sizes_k)
+    dst = (zero, dst_row, zero, zero, zero)
+    return llama_mod.KVCache(
+        k=jax.lax.dynamic_update_slice(cache.k, k, dst),
+        v=jax.lax.dynamic_update_slice(cache.v, v, dst),
+    )
+
+
+# Suffix-prefill panel widths (prefix-cache hits prefill only [plen, end)):
+# bucketing the width bounds jit compiles; smaller low buckets than
+# teochat.SEQ_BUCKETS because hit suffixes are often a few dozen tokens.
+SUFFIX_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4352)
+
+
 def _sample_rows(logits, rng, temperature, do_sample):
     """Per-row greedy/temperature sampling. temperature/do_sample: [B] arrays."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -387,6 +415,9 @@ class _Request:
     _streamed: int = 0
     # chunked-prefill progress (None once fully prefilled / for short prompts)
     pf: Optional[dict] = None
+    # prefix-cache hit bookkeeping: (matched pool entry, lcp tokens reused);
+    # consulted by _maybe_store_prefix to decide replace/store/skip
+    prefix_hit: Optional[tuple] = None
 
     def _push_stream(self, final: bool = False):
         if self.stream_q is None:
@@ -410,7 +441,9 @@ class BatchEngine:
     def __init__(self, model: teochat_mod.TEOChat, *, max_slots: int = 4,
                  max_len: int = 2048, chunk: int = 8, kv_dtype=None,
                  speculative_k: int = 0,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 prefix_cache_slots: int = 0,
+                 prefix_min_tokens: int = 16):
         self.model = model
         self.cfg: TEOChatConfig = model.cfg
         self.max_slots = max_slots
@@ -422,9 +455,27 @@ class BatchEngine:
         # iteration, so a long admission stalls running decodes by at most
         # one piece (vLLM-style chunked prefill). None = monolithic prefill.
         self.prefill_chunk = prefill_chunk
+        # Automatic prefix caching (vLLM-style, beyond the reference): the
+        # cache buffer carries `prefix_cache_slots` extra POOL rows after the
+        # request slots. A request whose leading TEXT run (token ids before
+        # the first <image> sentinel — e.g. the shared TEOChat system prompt)
+        # matches a pooled prefix copies that row's KV into its slot (~1 ms
+        # device copy) and prefills only the suffix, instead of recomputing
+        # the prefix (a full 7B forward over those slots). Text-only prefixes
+        # keep the key exact: vision tokens depend on pixel data, text slots
+        # [0, plen) depend only on the ids. Token-exact — the suffix prefill
+        # is the chunked-prefill program, already exact vs monolithic, and
+        # the pooled KV was produced by the same prefill program on the same
+        # ids at the same positions. 0 disables (default; decode programs are
+        # unchanged either way — extra rows only widen the cache reads' row
+        # slice).
+        self.prefix_cache_slots = prefix_cache_slots
+        self.prefix_min_tokens = prefix_min_tokens
+        self._prefix_entries: List[dict] = []  # {key, plen, row, stamp}
+        self._prefix_clock = 0
         dtype = kv_dtype or model._dtype
         self.cache = llama_mod.init_cache(
-            self.cfg.llm, max_slots, max_len, dtype=dtype
+            self.cfg.llm, max_slots + prefix_cache_slots, max_len, dtype=dtype
         )
         # all numeric scheduler state is device-resident (donated through the
         # prefill/chunk programs); the host keeps only the request objects
@@ -440,7 +491,8 @@ class BatchEngine:
         self._lock = threading.Lock()
         self._stop = False
         self._thread: Optional[threading.Thread] = None
-        self.stats = {"max_concurrent": 0, "chunks": 0, "requests": 0}
+        self.stats = {"max_concurrent": 0, "chunks": 0, "requests": 0,
+                      "prefix_hits": 0, "prefix_tokens_saved": 0}
 
     # ------------------------------------------------------------- submit
     def submit(self, input_ids: Sequence[int],
@@ -653,6 +705,61 @@ class BatchEngine:
         row = np.full((self.max_len,), -1, np.int32)
         n = min(len(req.input_ids), self.max_len - 1)
         row[:n] = req.input_ids[:n]
+        plen, prefix_row, matched = self._prefix_match(req.input_ids, fused_len)
+        if plen:
+            req.prefix_hit = (matched, plen)
+            # prefix-cache hit: seed the slot's KV [0, plen) from the pool
+            # row, then prefill only [plen, ...). Copying past plen is safe —
+            # every copied garbage slot is overwritten by the suffix panel
+            # (slots < fused_len) or by a decode write at `pos` before the
+            # mask slot <= pos admits it (slots >= fused_len).
+            self.stats["prefix_hits"] += 1
+            self.stats["prefix_tokens_saved"] += plen
+            self.cache = _copy_cache_row(
+                self.cache,
+                jnp.asarray(prefix_row, jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+                self._copy_len(plen),
+            )
+            embeds = _fuse_embeds(
+                model.params["llm"], plan, vision_tokens.astype(model._dtype)
+            )
+            suffix = fused_len - plen
+            if self.prefill_chunk is not None and suffix > self.prefill_chunk:
+                c = self.prefill_chunk
+                nchunks = -(-suffix // c)
+                end = plen + nchunks * c
+                if embeds.shape[1] < end:
+                    embeds = jnp.pad(
+                        embeds, ((0, 0), (0, end - embeds.shape[1]), (0, 0))
+                    )
+                req.pf = {
+                    "embeds": embeds[:, plen:end], "next": 0,
+                    "nchunks": nchunks, "fused_len": fused_len,
+                    "offset": plen, "hist_row": row, "hist_n": n,
+                }
+                self._advance_one_prefill(req, slot)
+                return
+            w = teochat_mod.round_to_bucket(suffix, SUFFIX_BUCKETS)
+            w = min(w, self.max_len - plen)
+            if embeds.shape[1] < plen + w:
+                embeds = jnp.pad(
+                    embeds, ((0, 0), (0, plen + w - embeds.shape[1]), (0, 0))
+                )
+            pos = jnp.arange(plen, plen + w, dtype=jnp.int32)[None, :]
+            tok, self.cache, self._state = _prefill_slot_tail(
+                model.params["llm"], self.cache, self._state, cfg.llm,
+                embeds[:, plen:plen + w], pos,
+                jnp.asarray(fused_len, jnp.int32),
+                jnp.asarray([fused_len - 1 - plen], jnp.int32),
+                jnp.asarray(slot, jnp.int32),
+                jnp.asarray([req.gen.temperature], jnp.float32),
+                jnp.asarray([req.gen.do_sample], bool),
+                jnp.asarray(row), jnp.asarray(n, jnp.int32),
+            )
+            self._pending_first.append((req, slot, tok))
+            self._maybe_store_prefix(req, slot)
+            return
         if self.prefill_chunk is not None and fused_len > self.prefill_chunk:
             # chunked prefill: fuse embeds once, then commit K/V one
             # prefill_chunk piece per scheduling iteration (see _step_once)
@@ -667,7 +774,8 @@ class BatchEngine:
                                           (0, 0)))
             req.pf = {
                 "embeds": embeds[:, :total], "next": 0, "nchunks": nchunks,
-                "fused_len": fused_len, "hist_row": row, "hist_n": n,
+                "fused_len": fused_len, "offset": 0,
+                "hist_row": row, "hist_n": n,
             }
             self._advance_one_prefill(req, slot)
             return
@@ -680,6 +788,107 @@ class BatchEngine:
             jnp.asarray(row), jnp.asarray(n, jnp.int32),
         )
         self._pending_first.append((req, slot, tok))
+        self._maybe_store_prefix(req, slot)
+
+    # ------------------------------------------------------- prefix cache
+    @staticmethod
+    def _text_run(input_ids) -> tuple:
+        """Leading pure-text token run (the cacheable prefix): ids before the
+        first <image> sentinel occupy fused slots [0, len(run)) and depend
+        only on the ids — vision tokens would tie the key to pixel data."""
+        run = []
+        for t in input_ids:
+            if t == fusion_mod.IMAGE_TOKEN_INDEX:
+                break
+            run.append(int(t))
+        return tuple(run)
+
+    def _bump(self) -> int:
+        self._prefix_clock += 1
+        return self._prefix_clock
+
+    def _copy_len(self, plen: int) -> int:
+        return min(
+            teochat_mod.round_to_bucket(plen, teochat_mod.SEQ_BUCKETS),
+            self.max_len,
+        )
+
+    def _prefix_match(self, input_ids, fused_len: int):
+        """Longest usable pooled prefix for this prompt; returns
+        (plen, pool_row) or (0, -1) on miss. Matching is longest-common-prefix
+        against each pooled run — token-exact even when the shared run is a
+        strict prefix of both (the system-prompt case: prompts diverge at the
+        question), because causal KV at slot i depends only on ids[0..i] at
+        the same positions. plen is capped at fused_len - 1 so at least one
+        token remains to prefill for logits, and a hit must reuse at least
+        prefix_min_tokens to be worth the row copy."""
+        if not self.prefix_cache_slots:
+            return 0, -1, None
+        run = self._text_run(input_ids)
+        best, best_eff = None, 0
+        for e in self._prefix_entries:
+            key = e["key"]
+            lcp = 0
+            for a, b in zip(key, run):
+                if a != b:
+                    break
+                lcp += 1
+            eff = min(lcp, fused_len - 1)
+            if eff > best_eff:
+                best, best_eff = e, eff
+        if best is None or best_eff < self.prefix_min_tokens:
+            return 0, -1, None
+        best["stamp"] = self._bump()
+        return best_eff, best["row"], best
+
+    def _maybe_store_prefix(self, req: _Request, slot: int):
+        """Pool this request's just-prefilled text prefix (LRU eviction).
+        Called after the prefill program is dispatched — the donation chain
+        orders the copy-out after the prefill's writes.
+
+        Hit-path policy (req.prefix_hit set): if this run EXTENDS the matched
+        entry (the entry's whole key is a prefix of the run), replace that
+        entry in place — under LCP matching the longer key subsumes the
+        shorter one, so this costs no extra pool row (the multi-turn
+        pattern). If instead the run DIVERGED from the entry, pool it only
+        when its unique tail is at least prefix_min_tokens — a near-duplicate
+        of an already-pooled prefix (shared system prompt, 3-token question
+        tail) isn't worth a row copy per request."""
+        if not self.prefix_cache_slots:
+            return
+        run = self._text_run(req.input_ids)
+        if len(run) < self.prefix_min_tokens:
+            return
+        for e in self._prefix_entries:
+            if e["key"] == run:
+                e["stamp"] = self._bump()
+                return
+        if req.prefix_hit is not None:
+            entry, lcp = req.prefix_hit
+            alive = any(e is entry for e in self._prefix_entries)
+            if alive and entry["plen"] == lcp and len(run) > lcp:
+                self.cache = _copy_cache_row(
+                    self.cache, jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(entry["row"], jnp.int32),
+                    self._copy_len(len(run)),
+                )
+                entry.update(key=run, plen=len(run), stamp=self._bump())
+                return
+            if len(run) - lcp < self.prefix_min_tokens:
+                return
+        if len(self._prefix_entries) < self.prefix_cache_slots:
+            prow = self.max_slots + len(self._prefix_entries)
+        else:
+            victim = min(self._prefix_entries, key=lambda e: e["stamp"])
+            self._prefix_entries.remove(victim)
+            prow = victim["row"]
+        self.cache = _copy_cache_row(
+            self.cache, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(prow, jnp.int32), self._copy_len(len(run)),
+        )
+        self._prefix_entries.append(
+            {"key": run, "plen": len(run), "row": prow, "stamp": self._bump()}
+        )
 
     def _advance_one_prefill(self, req: _Request, slot: int):
         """Dispatch the next chunked-prefill piece for one request; the final
@@ -687,8 +896,9 @@ class BatchEngine:
         pf = req.pf
         c = self.prefill_chunk
         i = pf["next"]
+        off = pf.get("offset", 0)  # prefix-cache hit: pieces start at plen
         emb = pf["embeds"][:, i * c:(i + 1) * c]
-        pos = jnp.arange(i * c, (i + 1) * c, dtype=jnp.int32)[None, :]
+        pos = jnp.arange(off + i * c, off + (i + 1) * c, dtype=jnp.int32)[None, :]
         if i < pf["nchunks"] - 1:
             self.cache = _prefill_chunk_write(
                 self.model.params["llm"], self.cache, self.cfg.llm, emb, pos,
@@ -700,7 +910,7 @@ class BatchEngine:
                 self.model.params["llm"], self.cache, self._state,
                 self.cfg.llm, emb, pos,
                 jnp.asarray(pf["fused_len"], jnp.int32),
-                jnp.asarray([pf["fused_len"] - 1 - i * c], jnp.int32),
+                jnp.asarray([pf["fused_len"] - 1 - off - i * c], jnp.int32),
                 jnp.asarray(slot, jnp.int32),
                 jnp.asarray([req.gen.temperature], jnp.float32),
                 jnp.asarray([req.gen.do_sample], bool),
@@ -709,6 +919,7 @@ class BatchEngine:
             )
             req.pf = None
             self._pending_first.append((req, slot, tok))
+            self._maybe_store_prefix(req, slot)
 
     def _advance_prefills(self, drain: bool = False):
         """Advance every in-progress chunked prefill by one piece (or, when

@@ -342,6 +342,13 @@ def main(argv=None):
                         "this many fused tokens, one piece per decode chunk, "
                         "bounding admission stall on running streams "
                         "(engine mode only; default monolithic)")
+    p.add_argument("--prefix_cache_slots", type=int, default=0,
+                   help="automatic prefix caching: pool this many extra KV "
+                        "rows; requests sharing a leading text run (e.g. the "
+                        "system prompt) seed their KV from the pool and "
+                        "prefill only the suffix (engine mode only; 0 = off)")
+    p.add_argument("--prefix_min_tokens", type=int, default=16,
+                   help="only pool text prefixes at least this many tokens")
     p.add_argument("--speculative_k", type=int, default=0,
                    help="verify k prompt-lookup drafts per decode step "
                         "(engine mode only; greedy rows are token-exact, "
@@ -364,6 +371,8 @@ def main(argv=None):
             chunk=args.chunk,
             speculative_k=args.speculative_k,
             prefill_chunk=args.prefill_chunk,
+            prefix_cache_slots=args.prefix_cache_slots,
+            prefix_min_tokens=args.prefix_min_tokens,
         ).start()
     print(f"serving on {args.host}:{args.port}"
           + (" (continuous batching)" if engine else ""))
