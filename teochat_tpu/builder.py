@@ -553,3 +553,53 @@ def load_pretrained_model(
     }
     context_len = cfg.max_sequence_length
     return tokenizer, model, processor, context_len
+
+
+def load_multi_lora(model: TEOChat, adapter_dirs) -> TEOChat:
+    """Attach N peft adapter checkpoints UNMERGED for multi-LoRA serving.
+
+    Beyond-reference: the reference process serves exactly one merged LoRA
+    (builder.py:37-72). Here each dir's adapter_model.{safetensors,bin} is
+    converted to unmerged adapter leaves over the SHARED backbone (which may
+    already be int8/int4 — nothing is merged), stacked along a new adapter
+    axis, and routed per request (BatchEngine submit(..., adapter=i) /
+    TEOChat.generate(adapters=[...]); -1 = base model). Returns a new model
+    sharing every base buffer; only the rank-r adapter stacks are new HBM.
+    """
+    from teochat_tpu.checkpoint import convert_hf
+    from teochat_tpu.train.lora import stack_lora_adapters
+
+    if not adapter_dirs:
+        raise ValueError("load_multi_lora needs at least one adapter dir")
+    trees = []
+    for d in adapter_dirs:
+        adapter = None
+        for fname in ("adapter_model.safetensors", "adapter_model.bin"):
+            f = os.path.join(d, fname)
+            if os.path.exists(f):
+                if fname.endswith(".safetensors"):
+                    from safetensors.numpy import load_file
+
+                    adapter = load_file(f)
+                else:
+                    adapter = _load_torch_file(f)
+                break
+        if adapter is None:
+            raise FileNotFoundError(f"no adapter_model.* in {d}")
+        lora_cfg = {}
+        cfg_file = os.path.join(d, "adapter_config.json")
+        if os.path.exists(cfg_file):
+            with open(cfg_file) as f:
+                lora_cfg = json.load(f)
+        trees.append(
+            convert_hf.attach_lora_to_llama(
+                model.params["llm"], adapter, model.cfg.llm,
+                rank=lora_cfg.get("r"), alpha=lora_cfg.get("lora_alpha"),
+            )
+        )
+    llm = stack_lora_adapters(trees)
+    llm = jax.tree.map(
+        lambda x: x if hasattr(x, "devices") else jnp.asarray(x), llm
+    )
+    return TEOChat(model.cfg, {**model.params, "llm": llm},
+                   tokenizer=model.tokenizer)

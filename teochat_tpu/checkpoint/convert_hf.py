@@ -184,6 +184,130 @@ def convert_projector(sd: Mapping[str, Any], cfg: ProjectorConfig,
     return {"layers": layers}
 
 
+_PEFT_NAME_MAP = {
+    "self_attn.q_proj": ("attn", "q"),
+    "self_attn.k_proj": ("attn", "k"),
+    "self_attn.v_proj": ("attn", "v"),
+    "self_attn.o_proj": ("attn", "out"),
+    "mlp.gate_proj": ("mlp", "gate"),
+    "mlp.up_proj": ("mlp", "up"),
+    "mlp.down_proj": ("mlp", "down"),
+}
+
+
+def _peft_lora_pairs(lora_sd: Mapping[str, Any]) -> Dict:
+    """Parse peft keys (`base_model.model.model.layers.{i}.<module>.lora_A/\
+B.weight`) into {(layer, module): {"A": [r, in], "B": [out, r]}}."""
+    norm = {}
+    for k, v in lora_sd.items():
+        k2 = re.sub(r"^(base_model\.model\.)?(model\.)?", "", k)
+        k2 = k2.replace(".default.weight", ".weight")
+        norm[k2] = v
+    pairs = {}
+    for k in norm:
+        m = re.match(r"^layers\.(\d+)\.(.+)\.lora_A\.weight$", k)
+        if m:
+            pairs.setdefault((int(m.group(1)), m.group(2)), {})["A"] = norm[k]
+        m = re.match(r"^layers\.(\d+)\.(.+)\.lora_B\.weight$", k)
+        if m:
+            pairs.setdefault((int(m.group(1)), m.group(2)), {})["B"] = norm[k]
+    return pairs
+
+
+def attach_lora_to_llama(
+    params: Dict,
+    lora_sd: Mapping[str, Any],
+    cfg: LlamaConfig,
+    rank: Optional[int] = None,
+    alpha: Optional[float] = None,
+) -> Dict:
+    """Attach peft LoRA A/B pairs as UNMERGED adapter leaves.
+
+    The multi-LoRA serving loader (builder.load_multi_lora): the base kernels
+    stay untouched (they may be int8/int4 — merging needs fp weights,
+    reference builder.py:65-72 skips merge under 8-bit for the same reason)
+    and each projection gains lora_a [L, in, r] / lora_b [L, r, out] /
+    lora_scale [L] leaves, llama._proj's adapter layout. Projections absent
+    from the checkpoint get zero adapters at the shared rank.
+    """
+    pairs = _peft_lora_pairs(lora_sd)
+    if not pairs:
+        raise ValueError("no LoRA A/B pairs found in adapter state dict")
+    if rank is None:
+        rank = _np(next(iter(pairs.values()))["A"]).shape[0]
+    alpha = alpha if alpha is not None else 2 * rank
+    L = cfg.num_layers
+
+    def stacks(module):
+        """(A_stack [L, in, r], B_stack [L, r, out]) for one peft module;
+        widths come from the adapter tensors themselves (zero-filled layers
+        copy a present layer's shape), so quantized bases need no fp kernel."""
+        present = [(l, ab) for (l, m), ab in pairs.items() if m == module]
+        if not present:
+            raise ValueError(f"adapter has no LoRA pair for {module}")
+        a0 = _np(present[0][1]["A"])
+        b0 = _np(present[0][1]["B"])
+        if a0.shape[0] != rank:
+            raise ValueError(
+                f"adapter rank mismatch in {module}: {a0.shape[0]} vs {rank}"
+            )
+        a_rows = [np.zeros((a0.shape[1], rank), np.float32)] * L
+        b_rows = [np.zeros((rank, b0.shape[0]), np.float32)] * L
+        for l, ab in present:
+            a_rows[l] = _np(ab["A"]).astype(np.float32).T
+            b_rows[l] = _np(ab["B"]).astype(np.float32).T
+        return np.stack(a_rows), np.stack(b_rows)
+
+    def block_diag_b(parts):
+        """[L, r, out_i] parts -> [L, len(parts)*r, sum(out_i)] block
+        diagonal: the fused-projection adapter (delta_qkv = [xA_qB_q | ...])."""
+        L_, r_ = parts[0].shape[:2]
+        total = sum(p.shape[2] for p in parts)
+        out = np.zeros((L_, len(parts) * r_, total), np.float32)
+        col = 0
+        for i, p in enumerate(parts):
+            out[:, i * r_:(i + 1) * r_, col:col + p.shape[2]] = p
+            col += p.shape[2]
+        return out
+
+    import jax
+
+    out = jax.tree.map(lambda x: x, params)  # shallow structural copy
+    layers = {
+        g: (dict(v) if isinstance(v, dict) else v)
+        for g, v in out["layers"].items()
+    }
+    mods = {name: stacks(module)
+            for module, (group, name) in _PEFT_NAME_MAP.items()}
+    # fused quantized layouts (ops/quant.py fuse_projections) take the
+    # block-composed adapter: A columns concatenate (rank 3r / 2r), B goes
+    # block-diagonal, so delta == per-projection deltas side by side
+    fused = {}
+    if "qkv" in layers["attn"]:
+        fused["attn", "qkv"] = ("q", "k", "v")
+    if "gateup" in layers["mlp"]:
+        fused["mlp", "gateup"] = ("gate", "up")
+    consumed = {n for parts in fused.values() for n in parts}
+    scale = np.full((L,), alpha / rank, np.float32)
+    for (group, fname), parts in fused.items():
+        proj = dict(layers[group][fname])
+        proj["lora_a"] = np.concatenate([mods[n][0] for n in parts], axis=2)
+        proj["lora_b"] = block_diag_b([mods[n][1] for n in parts])
+        proj["lora_scale"] = scale
+        layers[group] = dict(layers[group])
+        layers[group][fname] = proj
+    for module, (group, name) in _PEFT_NAME_MAP.items():
+        if name in consumed:
+            continue
+        proj = dict(layers[group][name])
+        proj["lora_a"], proj["lora_b"] = mods[name]
+        proj["lora_scale"] = scale
+        layers[group] = dict(layers[group])
+        layers[group][name] = proj
+    out["layers"] = layers
+    return out
+
+
 def merge_lora_into_llama(
     params: Dict,
     lora_sd: Mapping[str, Any],

@@ -42,10 +42,11 @@ def backend_embed(params, cfg, ids, dtype=None):
 def backend_forward(params, cfg, emb, *, position_ids, cache, write_slots,
                     kv_mask, logits_mode, last_index=None,
                     cache_row_offset=0, spec_verify=False, prefill_start=0,
-                    attend_cache=False, act_quant_ok=None):
+                    attend_cache=False, act_quant_ok=None, adapter_route=None):
     """Cached-path decoder dispatch. MPT ignores position_ids (ALiBi). The
     extended cache contract (per-slot row offsets, spec-verify blocks,
-    chunked-prefill offsets) is shared by both backends."""
+    chunked-prefill offsets) is shared by both backends, as is
+    `adapter_route` [B, A] multi-LoRA per-row routing (llama._proj)."""
     if isinstance(cfg, MptConfig):
         from teochat_tpu.models import mpt as mpt_mod
 
@@ -54,6 +55,7 @@ def backend_forward(params, cfg, emb, *, position_ids, cache, write_slots,
             kv_mask=kv_mask, logits_mode=logits_mode, last_index=last_index,
             cache_row_offset=cache_row_offset, spec_verify=spec_verify,
             prefill_start=prefill_start, attend_cache=attend_cache,
+            adapter_route=adapter_route,
         )
     return llama_mod.llama_forward(
         params, cfg, emb, position_ids=position_ids, cache=cache,
@@ -62,6 +64,7 @@ def backend_forward(params, cfg, emb, *, position_ids, cache, write_slots,
         cache_row_offset=cache_row_offset, spec_verify=spec_verify,
         prefill_start=prefill_start, attend_cache=attend_cache,
         act_quant_ok=act_quant_ok,  # w8a8 prefill is a llama-path knob
+        adapter_route=adapter_route,
     )
 
 
@@ -170,6 +173,7 @@ def generate_tokens(
     pad_id: int = 0,
     cache_len: Optional[int] = None,
     kv_dtype: str = "bfloat16",
+    adapter_route: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, max_new_tokens] (pad_id after stop), n_generated [B]).
 
@@ -202,19 +206,20 @@ def generate_tokens(
         position_ids=position_ids, cache=cache, write_slots=slots,
         kv_mask=kv_mask,
         logits_mode="last", last_index=seq_lens - 1,
+        adapter_route=adapter_route,
     )
     tokens, n_gen, _ = _run_decode_loop(
         params, cfg, cache, logits[:, -1], seq_lens, stop, rng,
         max_new_tokens=max_new_tokens, temperature=temperature,
         do_sample=do_sample, top_p=top_p, pad_id=pad_id,
-        emb_dtype=inputs_embeds.dtype,
+        emb_dtype=inputs_embeds.dtype, adapter_route=adapter_route,
     )
     return tokens, n_gen
 
 
 def _run_decode_loop(params, cfg, cache, logits0, start_pos, stop, rng, *,
                      max_new_tokens, temperature, do_sample, top_p, pad_id,
-                     emb_dtype):
+                     emb_dtype, adapter_route=None):
     """The shared decode while_loop: sample from logits0, feed, repeat.
 
     start_pos: [B] cache slot of the first generated token per row (all prior
@@ -245,6 +250,7 @@ def _run_decode_loop(params, cfg, cache, logits0, start_pos, stop, rng, *,
         logits, cache = backend_forward(
             params, cfg, emb, position_ids=pos[:, None], cache=cache,
             write_slots=pos[:, None], kv_mask=kv_mask, logits_mode="last",
+            adapter_route=adapter_route,
         )
         return (step + 1, next_rng, cache, tokens, window, done, n_gen,
                 logits[:, -1])
@@ -276,7 +282,7 @@ def _run_decode_loop(params, cfg, cache, logits0, start_pos, stop, rng, *,
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def prefill_full(params, cfg, cache, embeds, seq_lens, attention_mask,
-                 position_ids):
+                 position_ids, adapter_route=None):
     """Prefill a fresh conversation into an (empty) session cache.
 
     Returns (last-token logits [B, V], cache). Contiguous panel writes +
@@ -290,13 +296,14 @@ def prefill_full(params, cfg, cache, embeds, seq_lens, attention_mask,
         params, cfg, embeds, position_ids=position_ids, cache=cache,
         write_slots=slots, kv_mask=kv_mask,
         logits_mode="last", last_index=seq_lens - 1,
+        adapter_route=adapter_route,
     )
     return logits[:, -1], cache
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def prefill_suffix(params, cfg, cache, embeds, start, seq_lens,
-                   attention_mask, position_ids):
+                   attention_mask, position_ids, adapter_route=None):
     """Prefill a conversation SUFFIX against committed cache contents.
 
     embeds/position_ids/attention_mask/seq_lens describe the right-padded
@@ -322,6 +329,7 @@ def prefill_suffix(params, cfg, cache, embeds, start, seq_lens,
         # sessions match the stateless full-prefill numerics when
         # int8_prefill_activations is enabled (verify blocks pin bf16)
         act_quant_ok=True,
+        adapter_route=adapter_route,
     )
     return logits[:, -1], cache
 
@@ -335,7 +343,7 @@ def prefill_suffix(params, cfg, cache, embeds, start, seq_lens,
 )
 def decode_with_cache(params, cfg, cache, logits0, start_pos, stop, rng, *,
                       max_new_tokens, temperature=0.0, do_sample=False,
-                      top_p=1.0, pad_id=0):
+                      top_p=1.0, pad_id=0, adapter_route=None):
     """Decode continuing from prefilled logits over an existing cache.
 
     Returns (tokens, n_gen, cache) — the cache keeps the generated tokens'
@@ -345,6 +353,7 @@ def decode_with_cache(params, cfg, cache, logits0, start_pos, stop, rng, *,
         params, cfg, cache, logits0, start_pos, stop, rng,
         max_new_tokens=max_new_tokens, temperature=temperature,
         do_sample=do_sample, top_p=top_p, pad_id=pad_id, emb_dtype=emb_dtype,
+        adapter_route=adapter_route,
     )
 
 
@@ -455,6 +464,7 @@ def generate_tokens_spec(
     do_sample: bool = False,
     top_p: float = 1.0,
     draft_keep_prob: Optional[jnp.ndarray] = None,
+    adapter_route: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode with prompt-lookup speculation (greedy or sampling).
 
@@ -499,6 +509,7 @@ def generate_tokens_spec(
         position_ids=position_ids, cache=cache, write_slots=slots,
         kv_mask=kv_mask,
         logits_mode="last", last_index=seq_lens - 1,
+        adapter_route=adapter_route,
     )
     tokens, n_gen, steps, accepted, _ = _run_spec_decode_loop(
         params, cfg, cache, logits[:, -1], seq_lens, prompt_ids,
@@ -506,6 +517,7 @@ def generate_tokens_spec(
         max_new_tokens=max_new_tokens, pad_id=pad_id, spec_k=spec_k,
         temperature=temperature, do_sample=do_sample, top_p=top_p,
         emb_dtype=inputs_embeds.dtype, draft_keep_prob=draft_keep_prob,
+        adapter_route=adapter_route,
     )
     return tokens, n_gen, steps, accepted
 
@@ -513,7 +525,7 @@ def generate_tokens_spec(
 def _run_spec_decode_loop(params, cfg, cache, logits0, start_pos, prompt_ids,
                           prompt_id_lens, stop, rng, *, max_new_tokens,
                           pad_id, spec_k, temperature, do_sample, top_p,
-                          emb_dtype, draft_keep_prob=None):
+                          emb_dtype, draft_keep_prob=None, adapter_route=None):
     """The speculative decode while_loop (called inside a jit context).
 
     start_pos: [B] cache slot of the first generated token per row (all prior
@@ -596,7 +608,7 @@ def _run_spec_decode_loop(params, cfg, cache, logits0, start_pos, prompt_ids,
         blk_logits, cache = backend_forward(
             params, cfg, emb, position_ids=blk_pos, cache=cache,
             write_slots=blk_pos, kv_mask=kv_mask, logits_mode="all",
-            spec_verify=True,
+            spec_verify=True, adapter_route=adapter_route,
         )  # [B, k+1, V]
 
         if sampling:
@@ -664,7 +676,8 @@ def _run_spec_decode_loop(params, cfg, cache, logits0, start_pos, prompt_ids,
 def decode_with_cache_spec(params, cfg, cache, logits0, start_pos,
                            prompt_ids, prompt_id_lens, stop, rng, *,
                            max_new_tokens, pad_id=0, spec_k=4,
-                           temperature=0.0, do_sample=False, top_p=1.0):
+                           temperature=0.0, do_sample=False, top_p=1.0,
+                           adapter_route=None):
     """Speculative decode continuing over an existing (session) cache.
 
     Same contract as decode_with_cache plus prompt-lookup speculation:
@@ -682,5 +695,5 @@ def decode_with_cache_spec(params, cfg, cache, logits0, start_pos,
         stop, rng,
         max_new_tokens=max_new_tokens, pad_id=pad_id, spec_k=spec_k,
         temperature=temperature, do_sample=do_sample, top_p=top_p,
-        emb_dtype=emb_dtype,
+        emb_dtype=emb_dtype, adapter_route=adapter_route,
     )

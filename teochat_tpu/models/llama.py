@@ -100,7 +100,8 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return (x.astype(jnp.float32) * cos + rotated.astype(jnp.float32) * sin).astype(x.dtype)
 
 
-def _proj(x: jnp.ndarray, p: Params, act_quant: bool = False, layer=None) -> jnp.ndarray:
+def _proj(x: jnp.ndarray, p: Params, act_quant: bool = False, layer=None,
+          route=None) -> jnp.ndarray:
     if "packed" in p or "packed_tiles" in p:  # int4 w4a16 (ops/quant.py)
         from teochat_tpu.ops.quant import int4_proj
 
@@ -123,6 +124,40 @@ def _proj(x: jnp.ndarray, p: Params, act_quant: bool = False, layer=None) -> jnp
         a = p["lora_a"].astype(x.dtype)
         b = p["lora_b"].astype(x.dtype)
         scale = jax.lax.stop_gradient(p["lora_scale"]).astype(jnp.float32)
+        if a.ndim == 3:
+            # Multi-LoRA serving (train/lora.py stack_lora_adapters): the
+            # per-layer slice carries an extra leading ADAPTER axis —
+            # a [A, d, r], b [A, r, f], scale [A] — and `route` [B, A] mixes
+            # adapters per batch row (one-hot for hard routing; all-zero row
+            # = base model only). The adapter axis unrolls statically (A is
+            # small) and each adapter runs the EXACT single-adapter einsum
+            # chain, weighted per row in f32: a zero weight contributes an
+            # exact f32 zero, so a one-hot row is BITWISE equal to the
+            # single-adapter model (a fused "bsd,adr->absr" contraction was
+            # measured to tile differently across batch sizes and flip
+            # near-tie greedy tokens between engine bs=N and generate bs=1).
+            # Costs A x the rank-r FLOPs (MXU noise at decode shapes) but
+            # stays gather-free: a per-row weight gather would materialize B
+            # copies of [d, r] per projection per layer per step.
+            if route is None:
+                raise ValueError(
+                    "params carry adapter-stacked LoRA leaves (multi-LoRA) "
+                    "but no adapter_route was passed to the forward"
+                )
+            w = route.astype(jnp.float32) * scale[None, :]  # [B, A]
+            delta = None
+            for i in range(a.shape[0]):
+                d_i = jnp.einsum(
+                    "...d,dr->...r", x, a[i],
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+                d_i = jnp.einsum(
+                    "...r,rf->...f", d_i, b[i],
+                    preferred_element_type=jnp.float32,
+                )
+                d_i = d_i * w[:, i][:, None, None]
+                delta = d_i if delta is None else delta + d_i
+            return y + delta.astype(x.dtype)
         delta = jnp.einsum(
             "...d,dr->...r", x, a, preferred_element_type=jnp.float32
         ).astype(x.dtype)
@@ -151,6 +186,7 @@ def _attention_layer(
     spec_verify: bool = False,
     prefill_start=0,
     attend_cache: bool = False,
+    route=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Self-attention with optional KV cache.
 
@@ -174,7 +210,7 @@ def _attention_layer(
     if "qkv" in lp:
         # fused q|k|v projection (ops/quant.py fuse_projections): one weight
         # read / one kernel launch instead of three
-        fused = _proj(x, lp["qkv"], act_quant, layer)
+        fused = _proj(x, lp["qkv"], act_quant, layer, route)
         q = fused[..., : h * hd]
         k = fused[..., h * hd : (h + hkv) * hd]
         v = fused[..., (h + hkv) * hd :]
@@ -184,9 +220,9 @@ def _attention_layer(
             v.reshape(b, s, hkv, hd),
         )
     else:
-        q = _proj(x, lp["q"], act_quant, layer).reshape(b, s, h, hd)
-        k = _proj(x, lp["k"], act_quant, layer).reshape(b, s, hkv, hd)
-        v = _proj(x, lp["v"], act_quant, layer).reshape(b, s, hkv, hd)
+        q = _proj(x, lp["q"], act_quant, layer, route).reshape(b, s, h, hd)
+        k = _proj(x, lp["k"], act_quant, layer, route).reshape(b, s, hkv, hd)
+        v = _proj(x, lp["v"], act_quant, layer, route).reshape(b, s, hkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -298,25 +334,26 @@ def _attention_layer(
                     q, kl.astype(q.dtype), vl.astype(q.dtype), mask=mask
                 )
     out = out.reshape(b, s, h * hd)
-    return _proj(out, lp["out"], act_quant, layer), k_cache, v_cache
+    return _proj(out, lp["out"], act_quant, layer, route), k_cache, v_cache
 
 
-def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False, layer=None) -> jnp.ndarray:
+def _mlp(x: jnp.ndarray, lp: Params, act_quant: bool = False, layer=None,
+         route=None) -> jnp.ndarray:
     if "gateup" in lp:  # fused gate|up (ops/quant.py fuse_projections)
-        gu = _proj(x, lp["gateup"], act_quant, layer)
+        gu = _proj(x, lp["gateup"], act_quant, layer, route)
         i_sz = gu.shape[-1] // 2
         gate_in, up = gu[..., :i_sz], gu[..., i_sz:]
     else:
-        gate_in = _proj(x, lp["gate"], act_quant, layer)
-        up = _proj(x, lp["up"], act_quant, layer)
+        gate_in = _proj(x, lp["gate"], act_quant, layer, route)
+        up = _proj(x, lp["up"], act_quant, layer, route)
     gate = jax.nn.silu(gate_in.astype(jnp.float32)).astype(x.dtype)
-    return _proj(gate * up, lp["down"], act_quant, layer)
+    return _proj(gate * up, lp["down"], act_quant, layer, route)
 
 
 def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
                    write_slots, right_padded=False, layer=None, row_offset=0,
                    spec_verify=False, act_quant_ok=True, prefill_start=0,
-                   attend_cache=False):
+                   attend_cache=False, route=None):
     # w8a8 projections on the compute-bound prefill only (s>1); decode is
     # bandwidth-bound and keeps bf16 activations. Speculative verify blocks
     # (s>1 but decode-like) pass act_quant_ok=False so the greedy targets
@@ -330,11 +367,11 @@ def _decoder_layer(x, lp, cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
     attn_out, k_cache, v_cache = _attention_layer(
         y, lp["attn"], cfg, cos, sin, kv_mask, q_slots, k_cache, v_cache,
         write_slots, right_padded, layer, row_offset, act_quant, spec_verify,
-        prefill_start, attend_cache,
+        prefill_start, attend_cache, route,
     )
     x = x + attn_out
     y = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
-    return x + _mlp(y, lp["mlp"], act_quant, layer), k_cache, v_cache
+    return x + _mlp(y, lp["mlp"], act_quant, layer, route), k_cache, v_cache
 
 
 def embed_tokens(params: Params, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
@@ -363,6 +400,7 @@ def llama_forward(
     act_quant_ok: Optional[bool] = None,
     prefill_start=0,
     attend_cache: bool = False,
+    adapter_route: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.
 
@@ -372,7 +410,10 @@ def llama_forward(
     S entries; decode writes 1). `last_index`: [B] row-wise index for
     logits_mode='last'. `cache_row_offset` (prefill only): write this
     B-row prefill into cache rows [offset, offset+B) — the serving engine's
-    per-slot prefill; decode requires B == cache rows.
+    per-slot prefill; decode requires B == cache rows. `adapter_route`
+    ([B, A], multi-LoRA params only): per-row adapter mixing weights —
+    one-hot selects an adapter, an all-zero row runs the base model
+    (see _proj and train/lora.py stack_lora_adapters).
     """
     x = inputs_embeds
     b, s, _ = x.shape
@@ -405,6 +446,12 @@ def llama_forward(
                     "pipeline_axis and sequence_axis cannot be combined "
                     "(ring attention inside a pipeline stage nests shard_maps)"
                 )
+            if adapter_route is not None:
+                raise ValueError(
+                    "adapter_route (multi-LoRA) is a serving feature and does "
+                    "not compose with pipeline_axis (the route would have to "
+                    "travel with each microbatch); merge or route on the host"
+                )
             from teochat_tpu.parallel.pipeline import pipelined_scan_blocks
 
             def block_fn(xc, lp, cos_b, sin_b, mask_b):
@@ -423,7 +470,8 @@ def llama_forward(
             def body(carry, lp):
                 y, _, _ = layer_fn(
                     carry, lp, cfg, cos, sin, mask2d, None, None, None, None,
-                    right_padded,
+                    right_padded, None, 0, False, act_quant_ok, 0, False,
+                    adapter_route,
                 )
                 return y, None
 
@@ -459,7 +507,7 @@ def llama_forward(
             y, kc, vc = layer_fn(
                 y, lp, cfg, cos, sin, kv_mask, q_slots, kc, vc, write_slots,
                 False, l, cache_row_offset, spec_verify, act_quant_ok,
-                prefill_start, attend_cache,
+                prefill_start, attend_cache, adapter_route,
             )
             return (y, kc, vc)
 

@@ -63,13 +63,14 @@ def _ln(x: jnp.ndarray, p: Params, eps: float = 1e-5) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def _dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+def _dense(x: jnp.ndarray, p: Params, route=None) -> jnp.ndarray:
     if "scale" in p or "packed" in p or "packed_tiles" in p or "lora_a" in p:
         # int8 weight-only / packed int4 / LoRA dicts: llama's projection
-        # dispatch covers every quantized layout (ops/quant.py convention)
+        # dispatch covers every quantized layout (ops/quant.py convention);
+        # `route` [B, A] mixes adapter-stacked multi-LoRA leaves per row
         from teochat_tpu.models.llama import _proj
 
-        y = _proj(x, p)
+        y = _proj(x, p, route=route)
     else:
         y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)
@@ -93,6 +94,7 @@ def _mpt_layer(
     spec_verify: bool = False,
     prefill_start=0,
     attend_cache: bool = False,
+    route=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """k_cache/v_cache are FULL stacked [L, B, T, H_kv, D] buffers with
     `layer` selecting this layer's slab (in-place update pattern shared
@@ -106,7 +108,7 @@ def _mpt_layer(
     n_kv = 1 if cfg.attn_type == "multiquery_attention" else h
 
     y = _ln(x, lp["norm1"])
-    qkv = _dense(y, lp["wqkv"])  # [B, S, D + 2 * n_kv * hd]
+    qkv = _dense(y, lp["wqkv"], route)  # [B, S, D + 2 * n_kv * hd]
     q = qkv[..., :d].reshape(b, s, h, hd)
     k = qkv[..., d : d + n_kv * hd].reshape(b, s, n_kv, hd)
     v = qkv[..., d + n_kv * hd :].reshape(b, s, n_kv, hd)
@@ -175,10 +177,11 @@ def _mpt_layer(
                 q, kl.astype(q.dtype), vl.astype(q.dtype),
                 mask=dec_mask, bias_k=bias[:, :t_max],
             )
-    x = x + _dense(out.reshape(b, s, d), lp["out_proj"])
+    x = x + _dense(out.reshape(b, s, d), lp["out_proj"], route)
 
     y = _ln(x, lp["norm2"])
-    y = _dense(jax.nn.gelu(_dense(y, lp["up_proj"]), approximate=False), lp["down_proj"])
+    y = _dense(jax.nn.gelu(_dense(y, lp["up_proj"], route), approximate=False),
+               lp["down_proj"], route)
     return x + y, k_cache, v_cache
 
 
@@ -198,6 +201,7 @@ def mpt_forward(
     spec_verify: bool = False,
     prefill_start=0,
     attend_cache: bool = False,
+    adapter_route: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional["KVCache"]]:
     """Run the MPT stack. Mirrors llama.llama_forward's cache contract.
 
@@ -228,6 +232,11 @@ def mpt_forward(
             # GPipe over the stacked layer axis (parallel/pipeline.py); the
             # ALiBi bias is microbatch-independent and closes over the block,
             # only the padding mask travels with its microbatch
+            if adapter_route is not None:
+                raise ValueError(
+                    "adapter_route (multi-LoRA) does not compose with "
+                    "pipeline_axis (see llama.llama_forward)"
+                )
             from teochat_tpu.parallel.pipeline import pipelined_scan_blocks
 
             def block_fn(xc, lp, mask_b):
@@ -245,7 +254,7 @@ def mpt_forward(
             def body(carry, lp):
                 y, _, _ = layer_fn(
                     carry, lp, cfg, bias, attention_mask, None, None, None,
-                    None
+                    None, None, 0, False, 0, False, adapter_route,
                 )
                 return y, None
 
@@ -263,6 +272,7 @@ def mpt_forward(
             y, kc, vc = _mpt_layer(
                 y, lp, cfg, bias, kv_mask, kc, vc, write_slots, q_slots, l,
                 cache_row_offset, spec_verify, prefill_start, attend_cache,
+                adapter_route,
             )
             return (y, kc, vc)
 

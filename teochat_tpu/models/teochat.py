@@ -169,11 +169,26 @@ class TEOChat:
         gen: Optional[GenerationConfig] = None,
         rng: Optional[jax.Array] = None,
         stop_spec: Optional[gen_mod.StopSpec] = None,
+        adapters: Optional[Sequence[int]] = None,
     ) -> List[List[int]]:
-        """Batched generate; returns generated ids per row (stop string included)."""
+        """Batched generate; returns generated ids per row (stop string included).
+
+        `adapters` (multi-LoRA params only — train/lora.py
+        stack_lora_adapters): per-row adapter index, -1 = base model."""
         gen = gen or GenerationConfig()
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         cfg = self.cfg
+        adapter_route = None
+        if adapters is not None:
+            from teochat_tpu.train import lora as lora_mod
+
+            n_adapters = lora_mod.num_stacked_adapters(self.params["llm"])
+            if not n_adapters:
+                raise ValueError(
+                    "adapters= given but params carry no adapter-stacked "
+                    "LoRA leaves (use train.lora.stack_lora_adapters)"
+                )
+            adapter_route = lora_mod.adapter_route(adapters, n_adapters)
 
         n_frames = fusion_mod.count_frames(input_ids)
         if n_frames:
@@ -248,6 +263,7 @@ class TEOChat:
                     None if gen.speculative_draft_keep_prob is None
                     else jnp.float32(gen.speculative_draft_keep_prob)
                 ),
+                adapter_route=adapter_route,
             )
             self.last_spec_stats = {
                 "steps": int(steps), "drafts_accepted": int(accepted),
@@ -265,6 +281,7 @@ class TEOChat:
                 pad_id=cfg.llm.pad_token_id,
                 cache_len=pad_to + gen.max_new_tokens + 1,
                 kv_dtype=str(jnp.dtype(self._dtype)),
+                adapter_route=adapter_route,
             )
         tokens = np.asarray(tokens)
         n_gen = np.asarray(n_gen)

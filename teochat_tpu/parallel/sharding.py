@@ -140,6 +140,14 @@ def param_specs(params: Dict, mesh: Mesh = None) -> Dict:
     def leaf_spec(path, leaf):
         path_s = _path_str(path)
         spec = spec_for_path(path_s)
+        if (
+            path_s.endswith(("lora_a", "lora_b"))
+            and leaf.ndim == len(spec) + 1
+        ):
+            # adapter-stacked multi-LoRA leaf [L, A, in, r]: the extra
+            # adapter axis (small, serving-only) replicates; in/rank keep
+            # the single-adapter rule's placement
+            spec = P(spec[0], None, *spec[1:])
         # drop axes that exceed the leaf's rank (e.g. unstacked variants)
         if len(spec) > leaf.ndim:
             spec = P(*spec[: leaf.ndim])

@@ -63,8 +63,20 @@ def _init_engine_state(max_slots: int, max_len: int, rng) -> dict:
         # per-slot token history for prompt-lookup drafting (spec mode)
         "hist": jnp.full((max_slots, max_len), -1, jnp.int32),
         "hist_len": jnp.zeros((max_slots,), jnp.int32),
+        # per-slot multi-LoRA adapter index (-1 = base model); consumed by
+        # _engine_route when the params carry adapter-stacked leaves
+        "adapter": jnp.full((max_slots,), -1, jnp.int32),
         "rng": rng,
     }
+
+
+def _engine_route(params, adapter_ids):
+    """[rows] adapter ids -> [rows, A] route, or None for single-LoRA/plain
+    params (A is a static shape property, so this branches at trace time)."""
+    from teochat_tpu.train.lora import adapter_route, num_stacked_adapters
+
+    n = num_stacked_adapters(params)
+    return adapter_route(adapter_ids, n) if n else None
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -80,7 +92,7 @@ def _deactivate_slot(state, slot):
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
 def _prefill_slot(params, cache, state, cfg, plan, vision_tokens, slot,
-                  temperature, do_sample, hist_row, hist_n):
+                  temperature, do_sample, hist_row, hist_n, adapter):
     """Prefill one request into cache row `slot`, sample its first token, and
     activate the slot in the device-resident scheduler state.
 
@@ -102,6 +114,7 @@ def _prefill_slot(params, cache, state, cfg, plan, vision_tokens, slot,
         logits_mode="last",
         last_index=plan.seq_lens - 1,
         cache_row_offset=slot,
+        adapter_route=_engine_route(params, adapter),
     )
     step_rng, rng = jax.random.split(state["rng"])
     tok = _sample_rows(logits[:, 0], step_rng, temperature, do_sample)
@@ -117,13 +130,14 @@ def _prefill_slot(params, cache, state, cfg, plan, vision_tokens, slot,
         "do_sample": state["do_sample"].at[slot].set(do_sample[0]),
         "hist": hist,
         "hist_len": state["hist_len"].at[slot].set(hist_n + 1),
+        "adapter": state["adapter"].at[slot].set(adapter[0]),
         "rng": rng,
     }
     return tok, cache, state
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
-def _prefill_chunk_write(params, cache, cfg, emb, pos_ids, slot):
+def _prefill_chunk_write(params, cache, cfg, emb, pos_ids, slot, adapter):
     """Chunked prefill, non-final chunk: commit this chunk's K/V into cache
     row `slot` at absolute slots pos_ids (contiguous panel write at
     prefill_start), attending the row's committed cache (earlier chunks) —
@@ -133,6 +147,7 @@ def _prefill_chunk_write(params, cache, cfg, emb, pos_ids, slot):
         params, cfg, emb, position_ids=pos_ids, cache=cache,
         write_slots=pos_ids, kv_mask=None, logits_mode="none",
         cache_row_offset=slot, prefill_start=pos_ids[0, 0], attend_cache=True,
+        adapter_route=_engine_route(params, adapter),
     )
     return cache
 
@@ -140,7 +155,7 @@ def _prefill_chunk_write(params, cache, cfg, emb, pos_ids, slot):
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1, 2))
 def _prefill_slot_tail(params, cache, state, cfg, emb, pos_ids, seq_len,
                        last_index, slot, temperature, do_sample, hist_row,
-                       hist_n):
+                       hist_n, adapter):
     """Chunked prefill, final chunk: commit K/V, take the prompt's last-token
     logits (masked attention over all committed chunks), sample the first
     token, and activate the slot — the chunked twin of _prefill_slot."""
@@ -149,6 +164,7 @@ def _prefill_slot_tail(params, cache, state, cfg, emb, pos_ids, seq_len,
         write_slots=pos_ids, kv_mask=None, logits_mode="last",
         last_index=last_index, cache_row_offset=slot,
         prefill_start=pos_ids[0, 0], attend_cache=True,
+        adapter_route=_engine_route(params, adapter),
     )
     step_rng, rng = jax.random.split(state["rng"])
     tok = _sample_rows(logits[:, 0], step_rng, temperature, do_sample)
@@ -162,6 +178,7 @@ def _prefill_slot_tail(params, cache, state, cfg, emb, pos_ids, seq_len,
         "do_sample": state["do_sample"].at[slot].set(do_sample[0]),
         "hist": hist,
         "hist_len": state["hist_len"].at[slot].set(hist_n + 1),
+        "adapter": state["adapter"].at[slot].set(adapter[0]),
         "rng": rng,
     }
     return tok, cache, state
@@ -278,6 +295,7 @@ def _decode_chunk(params, cache, state, cfg, chunk, eos_id, pad_id):
     b = state["last_tokens"].shape[0]
     t_max = cache.max_len
     trash = t_max - 1
+    route = _engine_route(params, state["adapter"])
 
     def step(carry, _):
         tok, pos, act, cache, rng = carry
@@ -288,6 +306,7 @@ def _decode_chunk(params, cache, state, cfg, chunk, eos_id, pad_id):
         logits, cache = backend_forward(
             params, cfg, emb, position_ids=pos[:, None], cache=cache,
             write_slots=write, kv_mask=kv_mask, logits_mode="last",
+            adapter_route=route,
         )
         nxt = _sample_rows(logits[:, -1], step_rng, temperature, do_sample)
         nxt = jnp.where(act, nxt, pad_id)
@@ -332,6 +351,7 @@ def _decode_chunk_spec(params, cache, state, cfg, chunk, spec_k, eos_id, pad_id)
     k = spec_k
     rows = jnp.arange(b)
     h_max = state["hist"].shape[1]
+    route = _engine_route(params, state["adapter"])
 
     def step(carry, _):
         tok, pos, act, cache, rng, hist, hist_len = carry
@@ -350,7 +370,7 @@ def _decode_chunk_spec(params, cache, state, cfg, chunk, spec_k, eos_id, pad_id)
         blk_logits, cache = backend_forward(
             params, cfg, emb, position_ids=blk_pos, cache=cache,
             write_slots=write, kv_mask=kv_mask, logits_mode="all",
-            spec_verify=True,
+            spec_verify=True, adapter_route=route,
         )  # [B, k+1, V]
         targets = jnp.argmax(blk_logits, axis=-1).astype(jnp.int32)
         greedy_row = ~(do_sample & (temperature > 0.0))
@@ -418,6 +438,8 @@ class _Request:
     # prefix-cache hit bookkeeping: (matched pool entry, lcp tokens reused);
     # consulted by _maybe_store_prefix to decide replace/store/skip
     prefix_hit: Optional[tuple] = None
+    # multi-LoRA adapter index (-1 = base model); routed per slot on device
+    adapter: int = -1
 
     def _push_stream(self, final: bool = False):
         if self.stream_q is None:
@@ -473,6 +495,11 @@ class BatchEngine:
         self.prefix_min_tokens = prefix_min_tokens
         self._prefix_entries: List[dict] = []  # {key, plen, row, stamp}
         self._prefix_clock = 0
+        # multi-LoRA: stacked adapter count (0 = plain/single-LoRA params);
+        # per-request `adapter` ids route inside the batched programs
+        from teochat_tpu.train.lora import num_stacked_adapters
+
+        self._n_adapters = num_stacked_adapters(model.params["llm"])
         dtype = kv_dtype or model._dtype
         self.cache = llama_mod.init_cache(
             self.cfg.llm, max_slots + prefix_cache_slots, max_len, dtype=dtype
@@ -497,10 +524,16 @@ class BatchEngine:
     # ------------------------------------------------------------- submit
     def submit(self, input_ids: Sequence[int],
                pixel_values: Optional[np.ndarray] = None,
-               gen: Optional[GenerationConfig] = None) -> List[int]:
-        """Enqueue one request; blocks until done; returns generated ids."""
+               gen: Optional[GenerationConfig] = None,
+               adapter: int = -1) -> List[int]:
+        """Enqueue one request; blocks until done; returns generated ids.
+
+        `adapter` (multi-LoRA models only): LoRA adapter index for this
+        request, -1 = base model — requests with different adapters batch
+        together in one decode chunk (per-row routing on device)."""
         gen = gen or GenerationConfig()
-        req = self._make_request(input_ids, pixel_values, gen)
+        req = self._make_request(input_ids, pixel_values, gen, adapter)
+        self._check_started()
         # dead-check + enqueue under the lock: the fatal drain (run_forever)
         # also holds it, so a request can never slip into the queue after the
         # one-shot drain and hang its caller
@@ -515,12 +548,14 @@ class BatchEngine:
 
     def submit_stream(self, input_ids: Sequence[int],
                       pixel_values: Optional[np.ndarray] = None,
-                      gen: Optional[GenerationConfig] = None):
+                      gen: Optional[GenerationConfig] = None,
+                      adapter: int = -1):
         """Enqueue one request; yields lists of fresh token ids per decode
         chunk as they are produced (SSE-friendly). Raises on request error."""
         gen = gen or GenerationConfig()
-        req = self._make_request(input_ids, pixel_values, gen)
+        req = self._make_request(input_ids, pixel_values, gen, adapter)
         req.stream_q = queue.Queue()
+        self._check_started()
         with self._lock:
             if self._dead:
                 raise RuntimeError(f"engine failed: {self._dead}")
@@ -533,7 +568,8 @@ class BatchEngine:
         if req.error:
             raise RuntimeError(req.error)
 
-    def _make_request(self, input_ids, pixel_values, gen) -> _Request:
+    def _make_request(self, input_ids, pixel_values, gen,
+                      adapter: int = -1) -> _Request:
         fused_len = len(input_ids) + sum(
             1 for t in input_ids if t == fusion_mod.IMAGE_TOKEN_INDEX
         ) * (self.model.tokens_per_frame - 1)
@@ -542,11 +578,27 @@ class BatchEngine:
                 f"prompt ({fused_len} fused tokens) + max_new_tokens "
                 f"({gen.max_new_tokens}) exceeds engine max_len {self.max_len}"
             )
+        if adapter >= 0 and adapter >= self._n_adapters:
+            raise ValueError(
+                f"adapter {adapter} out of range: model carries "
+                f"{self._n_adapters} stacked LoRA adapters"
+                + ("" if self._n_adapters else
+                   " (stack with train.lora.stack_lora_adapters)")
+            )
         return _Request(
             input_ids=list(input_ids), pixel_values=pixel_values, gen=gen,
             stop_strings=gen.stop_strings or (), event=threading.Event(),
-            remaining=gen.max_new_tokens,
+            remaining=gen.max_new_tokens, adapter=max(adapter, -1),
         )
+
+    def _check_started(self):
+        """submit/submit_stream on a never-started engine would block its
+        caller forever (the queue has no consumer) — fail loudly instead."""
+        if self._thread is None and not self._dead:
+            raise RuntimeError(
+                "engine not running: call .start() before submitting "
+                "(BatchEngine(...).start())"
+            )
 
     # ------------------------------------------------------------- engine
     def start(self):
@@ -705,7 +757,7 @@ class BatchEngine:
         row = np.full((self.max_len,), -1, np.int32)
         n = min(len(req.input_ids), self.max_len - 1)
         row[:n] = req.input_ids[:n]
-        plen, prefix_row, matched = self._prefix_match(req.input_ids, fused_len)
+        plen, prefix_row, matched = self._prefix_match(req, fused_len)
         if plen:
             req.prefix_hit = (matched, plen)
             # prefix-cache hit: seed the slot's KV [0, plen) from the pool
@@ -756,6 +808,7 @@ class BatchEngine:
                 jnp.asarray([req.gen.temperature], jnp.float32),
                 jnp.asarray([req.gen.do_sample], bool),
                 jnp.asarray(row), jnp.asarray(n, jnp.int32),
+                jnp.asarray([req.adapter], jnp.int32),
             )
             self._pending_first.append((req, slot, tok))
             self._maybe_store_prefix(req, slot)
@@ -786,6 +839,7 @@ class BatchEngine:
             jnp.asarray([req.gen.temperature], jnp.float32),
             jnp.asarray([req.gen.do_sample], bool),
             jnp.asarray(row), jnp.asarray(n, jnp.int32),
+            jnp.asarray([req.adapter], jnp.int32),
         )
         self._pending_first.append((req, slot, tok))
         self._maybe_store_prefix(req, slot)
@@ -813,7 +867,7 @@ class BatchEngine:
             self.max_len,
         )
 
-    def _prefix_match(self, input_ids, fused_len: int):
+    def _prefix_match(self, req: _Request, fused_len: int):
         """Longest usable pooled prefix for this prompt; returns
         (plen, pool_row) or (0, -1) on miss. Matching is longest-common-prefix
         against each pooled run — token-exact even when the shared run is a
@@ -821,12 +875,16 @@ class BatchEngine:
         question), because causal KV at slot i depends only on ids[0..i] at
         the same positions. plen is capped at fused_len - 1 so at least one
         token remains to prefill for logits, and a hit must reuse at least
-        prefix_min_tokens to be worth the row copy."""
+        prefix_min_tokens to be worth the row copy. Pool entries are keyed by
+        (adapter, run): with multi-LoRA params the pooled K/V embed the
+        adapter's deltas, so only same-adapter requests may reuse them."""
         if not self.prefix_cache_slots:
             return 0, -1, None
-        run = self._text_run(input_ids)
+        run = self._text_run(req.input_ids)
         best, best_eff = None, 0
         for e in self._prefix_entries:
+            if e["adapter"] != req.adapter:
+                continue
             key = e["key"]
             lcp = 0
             for a, b in zip(key, run):
@@ -860,7 +918,7 @@ class BatchEngine:
         if len(run) < self.prefix_min_tokens:
             return
         for e in self._prefix_entries:
-            if e["key"] == run:
+            if e["key"] == run and e["adapter"] == req.adapter:
                 e["stamp"] = self._bump()
                 return
         if req.prefix_hit is not None:
@@ -887,7 +945,8 @@ class BatchEngine:
             jnp.asarray(prow, jnp.int32), self._copy_len(len(run)),
         )
         self._prefix_entries.append(
-            {"key": run, "plen": len(run), "row": prow, "stamp": self._bump()}
+            {"key": run, "plen": len(run), "row": prow, "stamp": self._bump(),
+             "adapter": req.adapter}
         )
 
     def _advance_one_prefill(self, req: _Request, slot: int):
@@ -903,6 +962,7 @@ class BatchEngine:
             self.cache = _prefill_chunk_write(
                 self.model.params["llm"], self.cache, self.cfg.llm, emb, pos,
                 jnp.asarray(slot, jnp.int32),
+                jnp.asarray([req.adapter], jnp.int32),
             )
             pf["next"] = i + 1
         else:
@@ -916,6 +976,7 @@ class BatchEngine:
                 jnp.asarray([req.gen.do_sample], bool),
                 jnp.asarray(pf["hist_row"]),
                 jnp.asarray(pf["hist_n"], jnp.int32),
+                jnp.asarray([req.adapter], jnp.int32),
             )
             req.pf = None
             self._pending_first.append((req, slot, tok))

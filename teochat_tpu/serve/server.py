@@ -127,7 +127,8 @@ class ChatServer:
             do_sample=temperature > 0,
             stop_strings=(stop_str,),
         )
-        toks = self.engine.submit(input_ids, pixel_values, gen)
+        toks = self.engine.submit(input_ids, pixel_values, gen,
+                                  adapter=int(payload.get("adapter", -1)))
         response = self.chat.tokenizer.decode(toks).replace("</s>", "").strip()
         return {"response": response, "bboxes": extract_bboxes(response)}
 
@@ -214,7 +215,8 @@ class ChatServer:
                 tokens = []
                 try:
                     for fresh in server.engine.submit_stream(
-                        input_ids, pixel_values, gen
+                        input_ids, pixel_values, gen,
+                        adapter=int(payload.get("adapter", -1)),
                     ):
                         tokens.extend(fresh)
                         event = {
@@ -355,6 +357,12 @@ def main(argv=None):
                         "temperature>0 rows use distribution-exact "
                         "speculative sampling — same distribution, not the "
                         "same seeded draw as the plain path)")
+    p.add_argument("--lora_paths", default=None,
+                   help="comma-separated peft adapter dirs for multi-LoRA "
+                        "serving: adapters stay UNMERGED over the shared "
+                        "(possibly quantized) backbone and requests pick one "
+                        "via the JSON 'adapter' field (index into this list; "
+                        "-1/absent = base model)")
     args = p.parse_args(argv)
 
     from teochat_tpu.serve.chat import Chat
@@ -362,6 +370,12 @@ def main(argv=None):
     chat = Chat(args.model_path, load_8bit=args.load_8bit,
                 vision_path=args.vision_path,
                 quantize_vision=args.quantize_vision)
+    if args.lora_paths:
+        from teochat_tpu.builder import load_multi_lora
+
+        chat.model = load_multi_lora(
+            chat.model, [d for d in args.lora_paths.split(",") if d]
+        )
     engine = None
     if args.continuous_batching:
         from teochat_tpu.serve.engine import BatchEngine

@@ -116,6 +116,86 @@ def merge_lora(llm_params: Dict) -> Dict:
     return out
 
 
+def stack_lora_adapters(llm_params_list) -> Dict:
+    """Stack N single-adapter LLM param trees into ONE multi-LoRA tree.
+
+    Every tree must share the same base weights and LoRA rank; only the
+    adapter leaves may differ. The result carries adapter-stacked leaves —
+    lora_a [L, A, in, r], lora_b [L, A, r, out], lora_scale [L, A] — which
+    llama._proj routes per batch row via the `adapter_route` forward argument
+    (serving: BatchEngine submit(..., adapter=i)). Base weights (incl. int8 /
+    int4 quantized kernels) are taken from the FIRST tree and shared: the
+    adapters are the only per-variant state, so N fine-tunes serve from one
+    backbone's HBM footprint plus N rank-r adapter sets.
+
+    Beyond-reference: the reference serves one merged LoRA checkpoint per
+    process (builder.py:37-72 merge_and_unload); multi-LoRA serving has no
+    reference counterpart.
+    """
+    if not llm_params_list:
+        raise ValueError("stack_lora_adapters needs at least one adapter tree")
+    first = llm_params_list[0]
+
+    def stack_proj(projs):
+        p0 = dict(projs[0])
+        if "lora_a" not in p0:
+            return p0
+        ranks = {p["lora_a"].shape[-1] for p in projs}
+        if len(ranks) != 1:
+            raise ValueError(
+                f"all adapters must share one LoRA rank; got {sorted(ranks)}"
+            )
+        p0["lora_a"] = jnp.stack([p["lora_a"] for p in projs], axis=1)
+        p0["lora_b"] = jnp.stack([p["lora_b"] for p in projs], axis=1)
+        p0["lora_scale"] = jnp.stack(
+            [jnp.asarray(p["lora_scale"], jnp.float32) for p in projs], axis=1
+        )
+        return p0
+
+    out = {k: v for k, v in first.items()}
+    layers = {}
+    for gname, group in first["layers"].items():
+        if gname in LORA_TARGET_GROUPS and isinstance(group, dict) and all(
+            isinstance(v, dict) for v in group.values()
+        ):
+            layers[gname] = {
+                n: stack_proj([t["layers"][gname][n] for t in llm_params_list])
+                for n in group
+            }
+        elif gname in MPT_TARGET_NAMES:
+            layers[gname] = stack_proj(
+                [t["layers"][gname] for t in llm_params_list]
+            )
+        else:
+            layers[gname] = group
+    out["layers"] = layers
+    return out
+
+
+def adapter_route(adapter_ids, num_adapters: int) -> jnp.ndarray:
+    """[B] adapter indices -> [B, A] one-hot routing matrix; id -1 = base
+    model only (all-zero row). The forward's `adapter_route` argument."""
+    ids = jnp.asarray(adapter_ids, jnp.int32)
+    return jax.nn.one_hot(ids, num_adapters, dtype=jnp.float32) * (
+        ids >= 0
+    )[..., None].astype(jnp.float32)
+
+
+def num_stacked_adapters(llm_params) -> int:
+    """Adapter count A of a multi-LoRA tree (0 = single-adapter or no LoRA)."""
+    layers = llm_params.get("layers", {})
+    for gname in (*LORA_TARGET_GROUPS, *MPT_TARGET_NAMES):
+        group = layers.get(gname)
+        if not isinstance(group, dict):
+            continue
+        projs = group.values() if "lora_a" not in group else [group]
+        for p in projs:
+            if isinstance(p, dict) and "lora_a" in p:
+                a = p["lora_a"]
+                return a.shape[1] if a.ndim == 4 else 0
+    return 0
+
+
 def lora_trainable_filter(path: str) -> bool:
     """Trainable-param predicate for make_train_step: LoRA adapters + the
     projector (reference: LoRA on LLM, mm_projector tuned with its own lr)."""

@@ -76,6 +76,17 @@ def test_engine_rejects_oversized_prompt(model):
         engine.submit([1] * 40, None, GenerationConfig(max_new_tokens=4))
 
 
+def test_engine_submit_before_start_raises(model):
+    """submit on a never-started engine fails loudly instead of blocking its
+    caller forever (the request queue has no consumer until .start())."""
+    engine = BatchEngine(model, max_slots=2, max_len=32, chunk=2)
+    with pytest.raises(RuntimeError, match="start"):
+        engine.submit([1, 2, 3], None, GenerationConfig(max_new_tokens=2))
+    with pytest.raises(RuntimeError, match="start"):
+        next(iter(engine.submit_stream([1, 2, 3], None,
+                                       GenerationConfig(max_new_tokens=2))))
+
+
 def test_engine_text_only_and_eos(model):
     """Text-only prompts need no frames; eos_token stops a row early."""
     engine = BatchEngine(model, max_slots=2, max_len=64, chunk=4).start()
