@@ -705,28 +705,29 @@ PHASES = {
     "e2e": phase_e2e,
 }
 
+HOST_ONLY = {"preprocess"}
 
-# Ordered so the BASELINE.json target metrics (decode headline, the batched
-# serving axis, encode, e2e, TTFT) land first: whatever the wall-clock
-# budget, the final JSON line always carries the numbers the driver/judge
-# track. preprocess is host-only and ~7 s — run it second so it always
-# lands even when the TPU tunnel is wedged. The batched-decode phases sit
-# right after the headline this round (r3 regressed them; fresh numbers are
-# the round-4 contract).
+
+# Ordered so the BASELINE.json target metrics (decode headline incl. p50
+# TTFT, encode, e2e) land first: whatever the wall-clock budget, the final
+# JSON line always carries the numbers the driver/judge track. (HOST_ONLY
+# phases are hoisted to run before everything — they are seconds of pure
+# host work and must land even when the TPU tunnel is wedged.)
 PHASE_ORDER = (
-    "decode", "preprocess", "decode_bs8", "decode_bs16", "decode_bs32",
-    "encode", "e2e", "serve", "train", "decode_int4", "ttft_int8act",
-    "ttft_turn2", "decode_spec", "ttft_prefix",
+    "decode", "encode", "e2e", "preprocess", "decode_bs8", "decode_bs16",
+    "decode_bs32", "decode_int4", "serve", "train", "decode_spec",
+    "ttft_int8act", "ttft_turn2", "ttft_prefix",
 )
 
-# Conservative warm-cache wall-clock estimates per phase (seconds), including
-# ~20 s of subprocess jax-import + tunnel backend init. Overwritten by the
-# measured timings in the sidecar from the previous run, when present.
+# Conservative warm-cache wall-clock estimates per phase (seconds), assuming
+# the grouped-child runner (jax import + tunnel backend init paid ONCE per
+# child, not per phase). Overwritten by the measured timings in the sidecar
+# from the previous run, when present.
 PHASE_EST_S = {
-    "decode": 110, "encode": 70, "e2e": 80, "serve": 130, "train": 150,
-    "decode_int4": 200, "ttft_int8act": 70, "ttft_turn2": 70,
-    "decode_spec": 110, "decode_bs8": 100, "decode_bs16": 100,
-    "decode_bs32": 120, "preprocess": 25, "ttft_prefix": 110,
+    "decode": 60, "encode": 40, "e2e": 40, "serve": 80, "train": 90,
+    "decode_int4": 90, "ttft_int8act": 30, "ttft_turn2": 30,
+    "decode_spec": 60, "decode_bs8": 40, "decode_bs16": 50,
+    "decode_bs32": 60, "preprocess": 15, "ttft_prefix": 60,
 }
 
 # Round 2 lesson (BENCH_r02.json rc=124/parsed=null): the 12-phase serial run
@@ -758,35 +759,182 @@ def _save_sidecar(data):
     os.replace(tmp, SIDECAR)
 
 
-def _run_phase_subprocess(name, budget_s, retries=1):
-    """Run one phase in a child process with a hard wall-clock budget.
+def _child_run_phases(names):
+    """Child body: run phases SEQUENTIALLY in one process (one jax import +
+    one tunnel backend init, amortized over every phase — r4's one-child-per-
+    phase runner paid ~20-40 s of init per phase and starved the 780 s budget
+    after two failures). Emits one JSON line per phase as it completes, so
+    the parent banks each result the moment it exists; a phase that RAISES is
+    reported on its line and the child moves on — only a hang/crash kills the
+    child (and the parent respawns one for the remaining phases)."""
+    import gc
+    import traceback
 
-    Returns (parsed_result_or_None, elapsed_s)."""
-    t0 = time.perf_counter()
-    for attempt in range(retries + 1):
-        remaining = budget_s - (time.perf_counter() - t0)
-        if remaining <= 5:
-            break
-        proc = subprocess.Popen(
-            [sys.executable, __file__, "--phase", name],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        _CHILD[0] = proc
+    tpu_needed = any(n not in HOST_ONLY for n in names)
+    if tpu_needed:
+        import jax
+
+        t0 = time.perf_counter()
+        assert (
+            jax.default_backend() == "tpu"
+        ), f"need tpu, got {jax.default_backend()}"
+        # tiny probe: surfaces a wedged tunnel as init time, not phase time
+        import jax.numpy as jnp
+
+        float(jnp.ones((8, 8)).sum())
+        print(json.dumps({"__init__": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+    for name in names:
+        t0 = time.perf_counter()
         try:
-            stdout, stderr = proc.communicate(timeout=remaining)
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            proc.communicate()
-            _log(f"phase {name} attempt {attempt} hit its {remaining:.0f}s budget")
+            result = PHASES[name]()
+            line = {"__phase__": name, "result": result,
+                    "t": round(time.perf_counter() - t0, 1)}
+        except Exception as e:  # noqa: BLE001 — report and continue
+            traceback.print_exc()
+            line = {"__phase__": name, "error": f"{type(e).__name__}: {e}",
+                    "t": round(time.perf_counter() - t0, 1)}
+        print(json.dumps(line), flush=True)
+        gc.collect()  # drop the phase's device buffers before the next one
+
+
+class _ChildReader:
+    """Streams a child's stdout lines through a queue with timeouts."""
+
+    def __init__(self, names, errpath):
+        self.errfile = open(errpath, "w")
+        self.proc = subprocess.Popen(
+            [sys.executable, __file__, "--phases", ",".join(names)],
+            stdout=subprocess.PIPE, stderr=self.errfile, text=True,
+        )
+        _CHILD[0] = self.proc
+        self.q = __import__("queue").Queue()
+        self._t = __import__("threading").Thread(target=self._pump, daemon=True)
+        self._t.start()
+
+    def _pump(self):
+        for line in self.proc.stdout:
+            self.q.put(line)
+        self.q.put(None)  # EOF
+
+    def get(self, timeout):
+        import queue as _q
+
+        try:
+            return self.q.get(timeout=timeout)
+        except _q.Empty:
+            return ""
+
+    def kill(self):
+        try:
+            self.proc.kill()
+            self.proc.wait()
+        except Exception:
+            pass
+        _CHILD[0] = None
+        self.errfile.close()
+
+    def err_tail(self, n=1500):
+        try:
+            self.errfile.flush()
+            with open(self.errfile.name) as f:
+                return f.read()[-n:]
+        except Exception:
+            return ""
+
+
+def _run_phases_streamed(names, t_start, timings, results, statuses, errors,
+                         prev_ok, save):
+    """Parent loop: one grouped child over `names`, per-phase watchdog caps,
+    incremental sidecar banking via save(), one respawn per crash (the
+    crashed phase is retried once as the new child's first phase)."""
+    idx = 0
+    crash_retried = set()
+    child_n = 0
+    while idx < len(names):
+        remaining_wall = DEADLINE_S - (time.perf_counter() - t_start) - FINAL_MARGIN_S
+        if remaining_wall < 30:
             break
-        finally:
-            _CHILD[0] = None
-        for line in stdout.splitlines():
-            if line.startswith("{"):
-                return json.loads(line), time.perf_counter() - t0
-        _log(f"phase {name} attempt {attempt} failed (rc={proc.returncode}); "
-             f"stderr tail: {stderr[-300:]}")
-    return None, time.perf_counter() - t0
+        errpath = f"/tmp/bench_child_{os.getpid()}_{child_n}.err"
+        child_n += 1
+        reader = _ChildReader(names[idx:], errpath)
+        if any(n not in HOST_ONLY for n in names[idx:]):
+            # first-line budget covers jax import + tunnel backend init. A
+            # wedged tunnel (killed TPU process earlier on the box) clears in
+            # 3-15 min of WAITING — killing + respawning restarts the
+            # handshake — so the one child gets the whole remaining budget:
+            # if the wedge clears at minute 6, warm phases still fit.
+            init_cap = min(
+                float(os.environ.get("BENCH_INIT_CAP_S", str(DEADLINE_S))),
+                remaining_wall,
+            )
+            t_init = time.perf_counter()
+            line = reader.get(init_cap)
+            if not line or "__init__" not in line:
+                waited = time.perf_counter() - t_init
+                tail = reader.err_tail()
+                _log(f"child init failed/hung after {waited:.0f}s; "
+                     f"stderr: {tail[-300:]}")
+                reader.kill()
+                errors["__init__"] = tail
+                if waited > 60 or child_n >= 3:
+                    break  # hang: waiting was the only play; crash x3: give up
+                continue  # fast crash (import error etc): one more child
+            _log(f"child up: init {line.strip()}")
+        crashed = False
+        while idx < len(names):
+            name = names[idx]
+            remaining_wall = (DEADLINE_S - (time.perf_counter() - t_start)
+                              - FINAL_MARGIN_S)
+            est = 1.2 * timings.get(name, PHASE_EST_S.get(name, 60))
+            cap = min(max(2.5 * est, 120.0), remaining_wall)
+            if cap < min(est, 30):
+                _log(f"deadline: skipping {name} ({remaining_wall:.0f}s left)")
+                reader.kill()
+                for n in names[idx:]:
+                    statuses.setdefault(n, "cached" if n in prev_ok
+                                        else "skipped")
+                return
+            t0 = time.perf_counter()
+            line = reader.get(cap)
+            if line is None or line == "":
+                kind = "exited" if line is None else f"hung past {cap:.0f}s cap"
+                tail = reader.err_tail()
+                _log(f"phase {name}: child {kind}; stderr tail: {tail[-300:]}")
+                errors[name] = tail
+                reader.kill()
+                crashed = True
+                if line is None and name not in crash_retried:
+                    crash_retried.add(name)  # one in-place retry via respawn
+                else:
+                    statuses[name] = ("failed_cached" if name in prev_ok
+                                      else "failed")
+                    idx += 1
+                break
+            try:
+                msg = json.loads(line)
+            except ValueError:
+                continue  # stray print from a phase; keep waiting
+            if "__phase__" not in msg or msg["__phase__"] != name:
+                continue
+            if "error" in msg:
+                _log(f"phase {name} raised: {msg['error']}")
+                errors[name] = msg["error"]
+                statuses[name] = ("failed_cached" if name in prev_ok
+                                  else "failed")
+            else:
+                results.update(msg["result"])
+                statuses[name] = "ok"
+                timings[name] = msg.get("t", round(time.perf_counter() - t0, 1))
+                _log(f"phase {name} ok [{timings[name]}s]")
+            idx += 1
+            save()
+        if not crashed:
+            reader.kill()
+            return
+    # deadline or init failure: mark the rest
+    for name in names[idx:]:
+        statuses.setdefault(name, "cached" if name in prev_ok else "skipped")
 
 
 # extra-dict spec: (output key, results key, producing phase, round digits).
@@ -856,14 +1004,19 @@ def _emit_final(results, statuses):
 
 
 def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phases":
+        _child_run_phases(sys.argv[2].split(","))
+        return
     if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
-        if sys.argv[2] not in ("preprocess",):  # host-only phases skip the TPU
+        # single-phase CLI (CLAUDE.md usage): same child body, bare result
+        name = sys.argv[2]
+        if name not in HOST_ONLY:
             import jax
 
             assert (
                 jax.default_backend() == "tpu"
             ), f"need tpu, got {jax.default_backend()}"
-        result = PHASES[sys.argv[2]]()
+        result = PHASES[name]()
         print(json.dumps(result), flush=True)
         return
 
@@ -883,6 +1036,7 @@ def main():
     # driver artifact stays meaningful even when the budget cuts phases
     results = dict(sidecar.get("results", {}))
     statuses = {}
+    errors = {}
     emitted = [False]
 
     def emit_once():
@@ -906,39 +1060,26 @@ def main():
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
 
-    for name in (only or PHASE_ORDER):
-        remaining = DEADLINE_S - (time.perf_counter() - t_start) - FINAL_MARGIN_S
-        est = 1.2 * timings.get(name, PHASE_EST_S.get(name, 120))
-        if only is None and remaining < est:
-            _log(f"skipping phase {name}: {remaining:.0f}s left < est {est:.0f}s")
-            statuses[name] = "cached" if name in prev_ok else "skipped"
-            continue
-        # cap the per-phase budget: a wedged TPU tunnel hangs children at
-        # backend init, and an uncapped first phase would eat the WHOLE
-        # deadline — capping leaves later phases (incl. the host-only
-        # preprocess) their shot, and the sidecar covers what failed.
-        # Floor raised 120->240 s after r3's train phase blew a 261 s budget
-        # on a cold compile cache (sidecar estimated 87 s warm): a fresh
-        # 7B-program compile through the tunnel alone runs minutes, so tight
-        # floors turn cache misses into phase failures. Local cache-warming
-        # runs override the floor (BENCH_PHASE_MIN_BUDGET=600) so every
-        # program lands in .jax_cache before the driver's budgeted run.
-        floor = float(os.environ.get("BENCH_PHASE_MIN_BUDGET", "240"))
-        budget = min(remaining, max(2.5 * est, floor))
-        _log(f"running phase {name} ({budget:.0f}s budget, {remaining:.0f}s left)")
-        r, elapsed = _run_phase_subprocess(name, budget_s=budget)
-        if r:
-            results.update(r)
-            statuses[name] = "ok"
-            timings[name] = round(elapsed, 1)
-        else:
-            statuses[name] = "failed_cached" if name in prev_ok else "failed"
-        _log(f"phase {name} [{elapsed:.0f}s]: {r}")
-        # merge statuses so phases not reached THIS run keep their prior
-        # ok/cached standing in the sidecar (their cached results live on)
-        _save_sidecar({"timings": timings, "results": results,
-                       "statuses": {**sidecar.get("statuses", {}), **statuses}})
+    merged = {**sidecar.get("statuses", {})}
 
+    def save():
+        # phases not reached THIS run keep their prior ok/cached standing in
+        # the sidecar (their cached results live on)
+        _save_sidecar({"timings": timings, "results": results,
+                       "statuses": {**merged, **statuses}, "errors": errors})
+
+    # Host-only phases never touch the TPU: they run FIRST (seconds, immune
+    # to tunnel wedges) so they always land; the TPU phases share one child.
+    names = list(only or PHASE_ORDER)
+    host = [n for n in names if n in HOST_ONLY]
+    tpu = [n for n in names if n not in HOST_ONLY]
+    if host:
+        _run_phases_streamed(host, t_start, timings, results, statuses,
+                             errors, prev_ok, save)
+        save()
+    _run_phases_streamed(tpu, t_start, timings, results, statuses, errors,
+                         prev_ok, save)
+    save()
     emit_once()
 
 
