@@ -118,6 +118,91 @@ def phase_encode():
     }
 
 
+def phase_encode_pipeline():
+    """SUSTAINED end-to-end encode throughput from raw decoded frames
+    (512x640 uint8) to vision tokens — the input pipeline VERDICT r4 #5
+    flagged as host-gated (native preprocess 425 f/s < device encode 775).
+    Two pipelined paths, both double-buffered one batch deep:
+
+    A) host-native preprocess (C++ fixed-point, bit-exact parity) in a
+       worker thread overlapping the device encode of the previous batch —
+       sustained ~= min(host, device) on this 1-core box;
+    B) DEVICE preprocess (ops/preprocess.py: bicubic resize+crop+normalize
+       under jit, metric-parity) — the host only ships uint8 bytes, so the
+       encode is no longer gated by host arithmetic at all.
+
+    Publishes the sustained f/s of each and the best-vs-device-only ratio."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from teochat_tpu import native
+    from teochat_tpu.config import TEOChatConfig
+    from teochat_tpu.data.processing import ImageProcessor
+    from teochat_tpu.models import teochat as teochat_mod, vit as vit_mod
+    from teochat_tpu.models.projector import init_projector
+    from teochat_tpu.ops.preprocess import preprocess_frames
+    from teochat_tpu.ops.quant import quantize_vit_params
+
+    cfg = TEOChatConfig()
+    vp = vit_mod.init_vit(jax.random.PRNGKey(0), cfg.vision, dtype=jnp.bfloat16)
+    pp = init_projector(jax.random.PRNGKey(1), cfg.projector, dtype=jnp.bfloat16)
+    params = {"vision": quantize_vit_params(vp), "projector": pp}
+    jax.block_until_ready(params["vision"])
+
+    nb, bs = 8, 32
+    rng = np.random.RandomState(0)
+    raw = [rng.randint(0, 256, (bs, 512, 640, 3), np.uint8) for _ in range(nb)]
+    proc = ImageProcessor(use_native=False)
+
+    def prep_host(i):
+        if native.available():
+            return native.preprocess_batch(
+                list(raw[i]), 224, proc.image_mean, proc.image_std
+            )
+        return proc.preprocess(list(raw[i]))["pixel_values"]
+
+    out = [None]
+
+    def run_host_path():
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(prep_host, 0)
+            for i in range(nb):
+                px = fut.result()
+                if i + 1 < nb:
+                    fut = pool.submit(prep_host, i + 1)
+                out[0] = teochat_mod.encode_frames(
+                    params, cfg, jnp.asarray(px, jnp.bfloat16)
+                )
+
+    def run_device_path():
+        for i in range(nb):
+            x = preprocess_frames(jnp.asarray(raw[i])).astype(jnp.bfloat16)
+            out[0] = teochat_mod.encode_frames(params, cfg, x)
+
+    def sync():
+        float(jnp.sum(out[0]))
+
+    results = {}
+    t_host = _timeit(run_host_path, iters=1, sync=sync)
+    results["encode_sustained_fps_hostpre"] = nb * bs / t_host
+    t_dev = _timeit(run_device_path, iters=1, sync=sync)
+    results["encode_sustained_fps_devicepre"] = nb * bs / t_dev
+
+    # device-only reference on the same tower (frames pre-staged on device)
+    staged = jnp.asarray(prep_host(0), jnp.bfloat16)
+
+    def run_device_only():
+        out[0] = teochat_mod.encode_frames(params, cfg, staged)
+
+    t_ref = _timeit(run_device_only, iters=nb, sync=sync)
+    results["encode_frames_per_sec_deviceonly"] = bs / t_ref
+    best = max(results["encode_sustained_fps_hostpre"],
+               results["encode_sustained_fps_devicepre"])
+    results["encode_sustained_vs_deviceonly"] = best / (bs / t_ref)
+    return results
+
+
 def _build_decode_setup(batch: int = 1, quant: str = "int8",
                         kv_dtype: str = "bfloat16", int8_act: bool = False):
     import dataclasses
@@ -163,11 +248,55 @@ def _build_decode_setup(batch: int = 1, quant: str = "int8",
         )
         return toks
 
+    # roofline inputs: exact weight bytes from the live param pytree; KV
+    # bytes one step reads = the full [L, B, t_max, H, D] x2 buffer (masked
+    # attention is static-shaped)
+    run_generate.weight_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(llm)
+    )
+    run_generate.kv_bytes = (
+        2 * cfg.llm.num_layers * batch * t_max * cfg.llm.num_kv_heads
+        * cfg.llm.head_dim * jnp.dtype(kv_dtype).itemsize
+    )
     return run_generate, max_new, prompt_len
 
 
+def _measure_hbm_peak_gbps():
+    """Achievable HBM stream bandwidth on THIS chip: r+w of a 2 GiB buffer
+    (donated in-place add — 4 GiB of traffic per call, far above the ~2 ms
+    tunnel dispatch floor, so the timing is DMA-dominated). The roofline
+    ceiling the decode effective-GB/s keys are scored against."""
+    import jax, jax.numpy as jnp
+
+    n = 2 << 30  # 2 GiB of int8
+    bump = jax.jit(lambda x: x + jnp.int8(1), donate_argnums=0)
+    holder = [jnp.zeros((n,), jnp.int8)]
+
+    def fn():
+        holder[0] = bump(holder[0])
+
+    def sync():
+        int(holder[0][0])
+
+    dt = _timeit(fn, iters=3, sync=sync)
+    holder.clear()
+    return (2 * n) / dt / 1e9
+
+
+def _roofline_keys(tok_s: float, weight_bytes: int, kv_bytes: float,
+                   peak_gbps: float, tag: str = "") -> dict:
+    """Effective HBM GB/s of a measured decode rate vs the chip's measured
+    stream peak. bytes/step = every weight byte once + the full KV buffer
+    (masked attention reads all t_max slots — static shapes)."""
+    eff = tok_s * (weight_bytes + kv_bytes) / 1e9
+    return {
+        f"decode_effective_hbm_gbps{tag}": eff,
+        f"decode_pct_of_hbm_peak{tag}": eff / peak_gbps if peak_gbps else None,
+    }
+
+
 def phase_decode():
-    import jax.numpy as jnp
+    import jax, jax.numpy as jnp
 
     run_generate, max_new, prompt_len = _build_decode_setup()
     out = [None]
@@ -189,6 +318,12 @@ def phase_decode():
     # spread: tok/s from each full-loop batch against the median prefill —
     # min/max bound the tunnel/queueing noise on the headline metric
     tok_s = sorted((max_new - 1) / (t - t_one) for t in t_fulls)
+
+    # roofline accounting (VERDICT r4 #4): effective HBM GB/s this decode
+    # sustains, against the chip's measured stream peak — the artifact
+    # tracks the bandwidth gap instead of narrating it
+    peak = _measure_hbm_peak_gbps()
+    _log(f"hbm stream peak {peak:.0f} GB/s")
     return {
         "decode_tokens_per_sec": tok_s[1],
         "decode_tokens_per_sec_min": tok_s[0],
@@ -196,6 +331,9 @@ def phase_decode():
         "ttft_s_prefill640_int8": t_one,
         "full_loop_s": t_full,
         "prefill_tokens": prompt_len,
+        "hbm_stream_peak_gbps": peak,
+        **_roofline_keys(tok_s[1], run_generate.weight_bytes,
+                         run_generate.kv_bytes, peak),
     }
 
 
@@ -283,20 +421,74 @@ def phase_decode_int4():
         t_full = _timeit(full, iters=3, sync=sync)
         t_one = _timeit(one, iters=3, sync=sync)
         results[key] = (max_new - 1) / (t_full - t_one)
+        if kv_dtype == "bfloat16":
+            peak = _measure_hbm_peak_gbps()
+            results.update(_roofline_keys(
+                results[key], run_generate.weight_bytes,
+                run_generate.kv_bytes, peak, tag="_int4",
+            ))
     return results
+
+
+def _eo_tokenize(text, table):
+    """Deterministic LLaMA-like tokenization for bench workloads: digits one
+    token each, punctuation single, words whole pieces with their leading
+    space (SentencePiece's '▁word'). Prompt-lookup acceptance depends only on
+    the token SEQUENCE's n-gram self-similarity, which this preserves for the
+    EO response shapes that matter (bbox digit/punct streams, echoed class
+    names); real ids are irrelevant on random weights. table maps piece->id
+    persistently so prompt and response share ids."""
+    import re
+
+    ids = []
+    for piece in re.findall(r" ?[A-Za-z_-]+| ?\d| ?[^A-Za-z\d ]", text):
+        if piece not in table:
+            table[piece] = 100 + len(table)
+        ids.append(table[piece])
+    return ids
+
+
+# Realistic TEOChat response workloads (reference answer formats:
+# eval/detection.py:197-211 bbox lists; classification answers echo a class
+# named in the prompt). The ORACLE forces the greedy target to be this
+# response (generation.oracle_ids) so the measured acceptance is the true
+# prompt-lookup rate on that text with true verify-step costs.
+_SPEC_WORKLOADS = {
+    # change detection: fresh coordinates, structure self-repeats ("], [" and
+    # shared digit prefixes across boxes) — the LOW-acceptance regime
+    "detection": (
+        "This is a sequence of two satellite images. Identify all buildings"
+        " that were constructed between image 1 and image 2. Output the"
+        " bounding box of each new building.",
+        "[[306, 283, 338, 308], [312, 290, 341, 315], [118, 206, 141, 227],"
+        " [123, 212, 147, 231], [305, 117, 331, 139]]",
+    ),
+    # region-based QA: the answer ECHOES the prompt's bboxes and names classes
+    # listed in the prompt — the HIGH-acceptance regime
+    "regionqa": (
+        "Here are two satellite images. What is the damage level of the"
+        " building at [306, 283, 338, 308] and of the building at"
+        " [118, 206, 141, 227]? Choose from: no-damage, minor-damage,"
+        " major-damage, destroyed. Answer with each bounding box followed"
+        " by its damage level.",
+        "The building at [306, 283, 338, 308] is classified as minor-damage."
+        " The building at [118, 206, 141, 227] is classified as no-damage."
+        " Overall, the area around [306, 283, 338, 308] shows minor-damage"
+        " to several structures.",
+    ),
+}
 
 
 def phase_decode_spec():
     """bs=1 greedy decode with prompt-lookup speculation (k drafted tokens
     verified per step). Decode is weight-bandwidth-bound, so a (k+1)-token
     verify step costs ~one plain step; tokens/s multiplies by the mean
-    accepted+1 per step. HONESTY NOTE: random-init weights loop quickly under
-    greedy, which inflates n-gram acceptance vs real checkpoints — the
-    transferable numbers are `spec_iteration_s` (verify-step cost, weights-
-    independent physics) and the tok/s formula; the measured tok/s is an
-    upper bound specific to this synthetic prompt. Mean acceptance on real
-    EO outputs depends on how much the response echoes the prompt (bbox
-    lists, class names do; free text does not)."""
+    accepted+1 per step.
+
+    PRIMARY numbers are the realistic-workload ones (oracle-forced TEOChat
+    response shapes, measured acceptance — see _SPEC_WORKLOADS); the
+    synthetic perfect-acceptance number and the forced-acceptance curve are
+    kept as labeled upper-bound/physics references."""
     import dataclasses
 
     import numpy as np
@@ -327,13 +519,14 @@ def phase_decode_spec():
     )
     out = [None]
 
-    def run(n_new, keep_prob=None):
+    def run(n_new, keep_prob=None, row=None, oracle=None):
+        p, pids, plen = (plan, prompt_ids, len(ids[0])) if row is None else row
         toks, n, steps, acc = gen_mod.generate_tokens_spec(
-            llm, cfg.llm, embeds, plan.seq_lens, plan.attention_mask,
-            plan.position_ids, jnp.asarray(prompt_ids),
-            jnp.asarray([len(ids[0])], jnp.int32), stop,
+            llm, cfg.llm, embeds, p.seq_lens, p.attention_mask,
+            p.position_ids, jnp.asarray(pids),
+            jnp.asarray([plen], jnp.int32), stop,
             max_new_tokens=n_new, cache_len=prompt_len + n_new + spec_k + 1,
-            spec_k=spec_k, draft_keep_prob=keep_prob,
+            spec_k=spec_k, draft_keep_prob=keep_prob, oracle_ids=oracle,
         )
         out[0] = toks
         return steps, acc
@@ -359,6 +552,37 @@ def phase_decode_spec():
         "spec_steps_for_64_tokens": steps,
         "spec_mean_tokens_per_step": max_new / max(steps, 1),
     }
+
+    # realistic workloads (PRIMARY): oracle-forced TEOChat response shapes —
+    # acceptance is MEASURED, not forced; t_one (prefill+1) is the same
+    # program cost for every workload, so it is reused as the baseline
+    table = {}
+    for wname, (ptext, rtext) in _SPEC_WORKLOADS.items():
+        ptoks = _eo_tokenize(ptext, table)[:123]
+        rtoks = _eo_tokenize(rtext, table)
+        assert len(rtoks) >= max_new, (wname, len(rtoks))
+        rtoks = rtoks[:max_new]
+        wids = [1] + [IMAGE_TOKEN_INDEX, 7] * 2 + ptoks
+        wplan = fusion_mod.build_fusion_plan(
+            [wids], tokens_per_frame=256, pad_to=prompt_len
+        )
+        wpids = np.full((1, prompt_ids.shape[1]), -1, np.int32)
+        wpids[0, : len(wids)] = wids
+        oracle = np.full((1, max_new), -1, np.int32)
+        oracle[0, : len(rtoks)] = rtoks
+        row = (wplan, wpids, len(wids))
+        orc = jnp.asarray(oracle)
+
+        def full_w():
+            stats[0] = run(max_new, row=row, oracle=orc)
+
+        t_w = _timeit(full_w, iters=3, sync=sync)
+        steps_w, acc_w = (int(x) for x in stats[0])
+        results[f"decode_tokens_per_sec_spec_{wname}"] = (
+            (max_new - 1) / (t_w - t_one)
+        )
+        results[f"spec_acceptance_{wname}"] = acc_w / max(steps_w * spec_k, 1)
+        results[f"spec_tokens_per_step_{wname}"] = max_new / max(steps_w, 1)
     # tok/s-vs-acceptance curve: force per-position acceptance ~= keep_prob
     # by corrupting drafts (generation.draft_keep_prob). The keep_prob is a
     # TRACED scalar, so all three rates share one compiled program. This is
@@ -546,11 +770,122 @@ def phase_ttft_prefix():
         engine.shutdown()
 
 
+def _measure_mxu_peak_tflops():
+    """Achievable bf16 matmul rate on THIS chip: 4 chained 8192^3 matmuls
+    (4.4 TFLOP/call, ~20x the tunnel dispatch floor). The MFU denominator —
+    measured, not a spec sheet."""
+    import jax, jax.numpy as jnp
+
+    n = 8192
+    x = jnp.ones((n, n), jnp.bfloat16)
+    w = jnp.ones((n, n), jnp.bfloat16) * jnp.bfloat16(1e-4)
+
+    @jax.jit
+    def chain(x, w):
+        for _ in range(4):
+            x = x @ w
+        return x
+
+    holder = [None]
+
+    def fn():
+        holder[0] = chain(x, w)
+
+    def sync():
+        float(holder[0][0, 0])
+
+    dt = _timeit(fn, iters=3, sync=sync)
+    holder.clear()
+    return 4 * 2 * n**3 / dt / 1e12
+
+
+def _llm_matmul_params(cfg) -> int:
+    """Backbone matmul params (per-token FLOPs = 2x this in a forward):
+    q/k/v/o + gate/up/down per layer + the lm_head; embedding lookups move
+    bytes, not MXU FLOPs."""
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    kvh = cfg.num_kv_heads * cfg.head_dim
+    per_layer = h * h * 2 + h * kvh * 2 + 3 * h * i
+    return cfg.num_layers * per_layer + cfg.vocab_size * h
+
+
+def _train_mfu(cfg, tok_s: float, seq: int, peak_tflops: float,
+               full_finetune: bool) -> float:
+    """MODEL-FLOPs utilization (standard MFU: useful FLOPs only — remat's
+    recompute is not credited). Per token: fwd 2P; backward 4P when weight
+    grads are computed (full finetune) or 2P when only activation grads flow
+    through the frozen backbone (LoRA; the LoRA/projector wgrads are <1% of
+    P). Attention adds 12*L*h*T_avg (score+context, fwd+bwd)."""
+    p = _llm_matmul_params(cfg)
+    factor = 6 if full_finetune else 4
+    att = (2 * factor) * cfg.num_layers * cfg.num_heads * cfg.head_dim * (seq / 2)
+    return tok_s * (factor * p + att) / (peak_tflops * 1e12)
+
+
+def _ttft_prefix_at(plen_tokens: int, max_len: int):
+    """Hit/miss TTFT through the engine at one shared-prefix length."""
+    import time as _time
+
+    import jax
+    from teochat_tpu.config import GenerationConfig, TEOChatConfig
+    from teochat_tpu.models import teochat as teochat_mod
+    from teochat_tpu.ops.quant import random_int8_llama
+    from teochat_tpu.serve.engine import BatchEngine
+
+    cfg = TEOChatConfig()
+    llm = random_int8_llama(jax.random.PRNGKey(0), cfg.llm)
+    jax.block_until_ready(llm)
+    model = teochat_mod.TEOChat(cfg, {"llm": llm})
+    gen = GenerationConfig(max_new_tokens=1, temperature=0.0,
+                           do_sample=False, stop_strings=())
+
+    def prompt(base, i):
+        return [1] + list(range(base, base + plen_tokens - 1)) + \
+            [2000 + i, 2100 + i, 5 + i]
+
+    engine = BatchEngine(model, max_slots=2, max_len=max_len, chunk=4,
+                         prefix_cache_slots=4, prefix_min_tokens=32).start()
+    try:
+        engine.submit(prompt(100, 0), None, gen)
+        engine.submit(prompt(100, 1), None, gen)
+
+        def timed(base, i):
+            t0 = _time.perf_counter()
+            engine.submit(prompt(base, i), None, gen)
+            return _time.perf_counter() - t0
+
+        miss = sorted(timed(b, 0) for b in (3000, 5000, 7000))[1]
+        hit = sorted(timed(100, i) for i in (2, 3, 4))[1]
+        return miss, hit
+    finally:
+        engine.shutdown()
+
+
+def phase_ttft_prefix_curve():
+    """Hit/miss TTFT curve over shared-prefix length {128, 1024, 2048} (the
+    512 point is the ttft_prefix phase): where does a pooled-prefix hit beat
+    a plain prefill? With the FUSED hit program (one dispatch: row copy +
+    suffix prefill + sample) a hit saves device prefill compute at every
+    length, so the crossover sits at the dispatch floor; the engine's
+    prefix_min_tokens (default 16) bypasses the pool below it."""
+    out = {}
+    for plen, max_len in ((128, 512), (1024, 2048), (2048, 2560)):
+        miss, hit = _ttft_prefix_at(plen, max_len)
+        out[f"ttft_s_prefix_miss_{plen}tok"] = miss
+        out[f"ttft_s_prefix_hit_{plen}tok"] = hit
+        out[f"prefix_hit_ttft_speedup_{plen}"] = miss / hit
+        _log(f"prefix {plen}: miss {miss:.3f} hit {hit:.3f}")
+    return out
+
+
 def phase_train():
-    """One LoRA train step on the flagship recipe shapes (reference
+    """LoRA train steps on the flagship recipe shapes (reference
     train_teochat.sh: 8-bit backbone + LoRA r=128/a=256 + trainable projector,
-    bf16 tower, remat): tokens/sec/chip of supervised training. The reference
-    never publishes a training-throughput number; this pins ours."""
+    bf16 tower, remat): tokens/sec/chip + MFU of supervised training, single
+    step AND the reference launch config (gradient_accumulation_steps=8,
+    train_teochat.sh:26 — optax.MultiSteps exactly as train/train.py:340).
+    The reference never publishes a training-throughput number; this pins
+    ours."""
     import numpy as np
     import jax, jax.numpy as jnp
     from teochat_tpu.config import TEOChatConfig
@@ -607,9 +942,127 @@ def phase_train():
         float(fn.loss)
 
     dt = _timeit(fn, iters=3, sync=sync)
-    return {
+    peak = _measure_mxu_peak_tflops()
+    _log(f"mxu peak {peak:.0f} TFLOP/s")
+    tok_s = batch * seq / dt
+    results = {
         f"train_step_s_bs{batch}_seq640": dt,
-        "train_tokens_per_sec": batch * seq / dt,
+        "train_tokens_per_sec": tok_s,
+        "mxu_peak_tflops": peak,
+        "train_mfu": _train_mfu(cfg.llm, tok_s, seq, peak,
+                                full_finetune=False),
+    }
+
+    # reference launch config: grad-accum 8 (every 8th call applies Adam;
+    # the other 7 only accumulate — slightly CHEAPER per call, so tokens/s
+    # should match or beat the single-step number)
+    import optax
+
+    opt8 = optax.MultiSteps(optimizer, every_k_schedule=8)
+    state8 = jax.jit(
+        lambda p: trainer_mod.init_train_state(
+            p, opt8, lora_mod.lora_trainable_filter
+        ),
+        donate_argnums=0,
+    )(holder[0].params)
+    holder[0] = None
+    step8 = trainer_mod.make_train_step(
+        cfg, opt8, trainable_filter=lora_mod.lora_trainable_filter,
+        remat=True,
+    )
+    h8 = [state8]
+
+    def fn8():
+        for _ in range(8):
+            h8[0], loss = step8(h8[0], plan, frames)
+        fn8.loss = loss
+
+    def sync8():
+        float(fn8.loss)
+
+    dt8 = _timeit(fn8, iters=1, sync=sync8)
+    tok_s8 = 8 * batch * seq / dt8
+    results["train_tokens_per_sec_accum8"] = tok_s8
+    results["train_mfu_accum8"] = _train_mfu(
+        cfg.llm, tok_s8, seq, peak, full_finetune=False
+    )
+    return results
+
+
+def phase_train_bf16():
+    """bf16 FULL finetune (every LLM + projector weight trains, tower frozen
+    — the reference's lora_enable=False path, train.py:274-295): tokens/sec
+    + MFU. SIZING HONESTY: 7B full-finetune needs ~2P(params)+2P(grads)+8P
+    (fp32 Adam moments) = ~80 GB — it does not fit one 16 GB chip in ANY
+    framework (the reference trains 7B with LoRA for the same reason), so
+    this phase measures the largest standard shape that fits: a
+    TinyLlama-1.1B-geometry backbone (h2048/i5632/L22/kv4) under the
+    flagship tower, Adam moments in param dtype, remat."""
+    import dataclasses
+
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from teochat_tpu.config import TEOChatConfig
+    from teochat_tpu.constants import IMAGE_TOKEN_INDEX
+    from teochat_tpu.models import fusion as fusion_mod, llama as llama_mod
+    from teochat_tpu.models import vit as vit_mod
+    from teochat_tpu.models.projector import init_projector
+    from teochat_tpu.train import trainer as trainer_mod
+
+    cfg = TEOChatConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        llm=dataclasses.replace(
+            cfg.llm, hidden_size=2048, intermediate_size=5632, num_layers=22,
+            num_heads=32, num_kv_heads=4,
+        ),
+        projector=dataclasses.replace(cfg.projector, hidden_size=2048),
+    )
+    params = {
+        "vision": vit_mod.init_vit(jax.random.PRNGKey(0), cfg.vision,
+                                   dtype=jnp.bfloat16),
+        "projector": init_projector(jax.random.PRNGKey(1), cfg.projector,
+                                    dtype=jnp.bfloat16),
+        "llm": llama_mod.init_llama(jax.random.PRNGKey(2), cfg.llm,
+                                    jnp.bfloat16),
+    }
+    jax.block_until_ready(params["llm"])
+
+    batch, seq = 2, 640
+    ids = [[1] + [IMAGE_TOKEN_INDEX, 7] * 2 + list(range(10, 10 + 123))] * batch
+    plan = fusion_mod.build_fusion_plan(
+        ids, tokens_per_frame=256, pad_to=seq,
+        labels=[[-100] * 5 + r[5:] for r in ids],
+    )
+    frames = jnp.asarray(
+        np.random.RandomState(0).randn(2 * batch, 3, 224, 224), jnp.bfloat16
+    )
+
+    optimizer = trainer_mod.make_optimizer(2e-5, total_steps=100)
+    train_filter = lambda p: not p.startswith("vision")  # noqa: E731
+    state = jax.jit(
+        lambda p: trainer_mod.init_train_state(p, optimizer, train_filter),
+        donate_argnums=0,
+    )(params)
+    step = trainer_mod.make_train_step(
+        cfg, optimizer, trainable_filter=train_filter, remat=True
+    )
+    holder = [state]
+
+    def fn():
+        holder[0], loss = step(holder[0], plan, frames)
+        fn.loss = loss
+
+    def sync():
+        float(fn.loss)
+
+    dt = _timeit(fn, iters=3, sync=sync)
+    peak = _measure_mxu_peak_tflops()
+    tok_s = batch * seq / dt
+    return {
+        "train_tokens_per_sec_bf16full_1b": tok_s,
+        "train_mfu_bf16full_1b": _train_mfu(cfg.llm, tok_s, seq, peak,
+                                            full_finetune=True),
     }
 
 
@@ -662,6 +1115,98 @@ def phase_e2e():
     return {"xbd_2frame_e2e_latency_s_32newtok": t}
 
 
+class _BenchTokenizer:
+    """Minimal whitespace tokenizer for the eval-throughput phase (weights
+    are random so ids only need to be stable and in-vocab)."""
+
+    bos_token_id, eos_token_id = 1, 2
+
+    def __init__(self):
+        self.vocab, self.rev = {"<s>": 1, "</s>": 2}, {1: "<s>", 2: "</s>"}
+
+    def __call__(self, text):
+        import types
+
+        ids = [1]
+        for w in text.split():
+            if w not in self.vocab:
+                idx = 10 + len(self.vocab) % 30000
+                self.vocab[w] = idx
+                self.rev[idx] = w
+            ids.append(self.vocab[w])
+        return types.SimpleNamespace(input_ids=ids)
+
+    def decode(self, ids):
+        return " ".join(self.rev.get(int(i), ".") for i in ids)
+
+    def batch_decode(self, ids_batch, skip_special_tokens=True):
+        return [self.decode(i) for i in ids_batch]
+
+
+def phase_eval():
+    """Eval-harness throughput on flagship shapes: synthetic 2-frame
+    xBD-style examples through eval/inference.py::run_inference_batched at
+    batch_size 1 vs 8 — the batched loop + prefetch is the framework's
+    structural win over the reference's one-example-at-a-time eval
+    (reference hot loop: videollava/eval/inference.py:52-53,100)."""
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from teochat_tpu.config import TEOChatConfig
+    from teochat_tpu.data.processing import ImageProcessor
+    from teochat_tpu.eval.inference import run_inference_batched
+    from teochat_tpu.models import teochat as teochat_mod, vit as vit_mod
+    from teochat_tpu.models.projector import init_projector
+    from teochat_tpu.ops.quant import random_int8_llama
+
+    cfg = TEOChatConfig()
+    params = {
+        "vision": vit_mod.init_vit(jax.random.PRNGKey(0), cfg.vision,
+                                   dtype=jnp.bfloat16),
+        "projector": init_projector(jax.random.PRNGKey(1), cfg.projector,
+                                    dtype=jnp.bfloat16),
+        "llm": random_int8_llama(jax.random.PRNGKey(2), cfg.llm),
+    }
+    jax.block_until_ready(params["llm"])
+    tok = _BenchTokenizer()
+    model = teochat_mod.TEOChat(cfg, params, tokenizer=tok)
+    processor = ImageProcessor()
+
+    rng = np.random.RandomState(0)
+    n_ex = 16
+    dataset = [
+        {
+            "conversations": [
+                {"value": "These are two satellite images of the same area"
+                          " before and after a disaster. <video> Is the"
+                          f" building at [30{i % 10}, 283, 338, 308] damaged?"},
+                {"value": "yes"},
+            ],
+            "video": [rng.randint(0, 256, (512, 640, 3), np.uint8)
+                      for _ in range(2)],
+            "timestamp": ["2020-01-01", "2020-03-01"],
+            "task": "rqa",
+        }
+        for i in range(n_ex)
+    ]
+
+    results = {}
+    for bs in (8, 1):
+        def run():
+            run_inference_batched(
+                dataset, model, tok, processor,
+                prompt_strategy="interleave", chronological_prefix=True,
+                conv_mode="v1", temperature=0.0, max_new_tokens=16,
+                batch_size=bs, progress=False,
+            )
+
+        dt = _timeit(run, iters=1)
+        results[f"eval_examples_per_sec_bs{bs}"] = n_ex / dt
+    results["eval_bs8_vs_bs1"] = (
+        results["eval_examples_per_sec_bs8"] / results["eval_examples_per_sec_bs1"]
+    )
+    return results
+
+
 def phase_preprocess():
     """Host-only: native C++ vs PIL image-preprocessing throughput (no TPU).
     The input pipeline feeds the encode phase; frames/sec here bounds how many
@@ -691,6 +1236,7 @@ def phase_preprocess():
 PHASES = {
     "preprocess": phase_preprocess,
     "encode": phase_encode,
+    "encode_pipeline": phase_encode_pipeline,
     "decode": phase_decode,
     "decode_bs8": phase_decode_bs8,
     "decode_bs16": phase_decode_bs16,
@@ -700,8 +1246,11 @@ PHASES = {
     "ttft_int8act": phase_ttft_int8act,
     "ttft_turn2": phase_ttft_turn2,
     "ttft_prefix": phase_ttft_prefix,
+    "ttft_prefix_curve": phase_ttft_prefix_curve,
     "serve": phase_serve,
     "train": phase_train,
+    "train_bf16": phase_train_bf16,
+    "eval": phase_eval,
     "e2e": phase_e2e,
 }
 
@@ -715,8 +1264,9 @@ HOST_ONLY = {"preprocess"}
 # host work and must land even when the TPU tunnel is wedged.)
 PHASE_ORDER = (
     "decode", "encode", "e2e", "preprocess", "decode_bs8", "decode_bs16",
-    "decode_bs32", "decode_int4", "serve", "train", "decode_spec",
-    "ttft_int8act", "ttft_turn2", "ttft_prefix",
+    "decode_bs32", "decode_int4", "ttft_prefix", "serve", "train",
+    "decode_spec", "encode_pipeline", "train_bf16", "eval",
+    "ttft_int8act", "ttft_turn2", "ttft_prefix_curve",
 )
 
 # Conservative warm-cache wall-clock estimates per phase (seconds), assuming
@@ -724,10 +1274,12 @@ PHASE_ORDER = (
 # child, not per phase). Overwritten by the measured timings in the sidecar
 # from the previous run, when present.
 PHASE_EST_S = {
-    "decode": 60, "encode": 40, "e2e": 40, "serve": 80, "train": 90,
+    "decode": 60, "encode": 40, "e2e": 40, "serve": 80, "train": 120,
     "decode_int4": 90, "ttft_int8act": 30, "ttft_turn2": 30,
-    "decode_spec": 60, "decode_bs8": 40, "decode_bs16": 50,
+    "decode_spec": 90, "decode_bs8": 40, "decode_bs16": 50,
     "decode_bs32": 60, "preprocess": 15, "ttft_prefix": 60,
+    "ttft_prefix_curve": 180, "encode_pipeline": 60, "train_bf16": 90,
+    "eval": 150,
 }
 
 # Round 2 lesson (BENCH_r02.json rc=124/parsed=null): the 12-phase serial run
@@ -950,11 +1502,22 @@ EXTRA_SPEC = (
     ("xbd_2frame_e2e_latency_s_32newtok", "xbd_2frame_e2e_latency_s_32newtok", "e2e", 4),
     ("decode_tokens_per_sec_min", "decode_tokens_per_sec_min", "decode", 2),
     ("decode_tokens_per_sec_max", "decode_tokens_per_sec_max", "decode", 2),
+    ("hbm_stream_peak_gbps", "hbm_stream_peak_gbps", "decode", 0),
+    ("decode_effective_hbm_gbps", "decode_effective_hbm_gbps", "decode", 0),
+    ("decode_pct_of_hbm_peak", "decode_pct_of_hbm_peak", "decode", 3),
+    ("decode_effective_hbm_gbps_int4", "decode_effective_hbm_gbps_int4", "decode_int4", 0),
+    ("decode_pct_of_hbm_peak_int4", "decode_pct_of_hbm_peak_int4", "decode_int4", 3),
     ("decode_tokens_per_sec_bs8", "decode_tokens_per_sec_bs8", "decode_bs8", 1),
     ("decode_tokens_per_sec_bs16", "decode_tokens_per_sec_bs16", "decode_bs16", 1),
     ("decode_tokens_per_sec_bs32_fp8kv", "decode_tokens_per_sec_bs32_fp8kv", "decode_bs32", 1),
     ("decode_tokens_per_sec_int4_bs1", "decode_tokens_per_sec_int4", "decode_int4", 1),
     ("decode_tokens_per_sec_int4_fp8kv_bs1", "decode_tokens_per_sec_int4_fp8kv", "decode_int4", 1),
+    ("decode_tokens_per_sec_spec_detection", "decode_tokens_per_sec_spec_detection", "decode_spec", 1),
+    ("spec_acceptance_detection", "spec_acceptance_detection", "decode_spec", 3),
+    ("spec_tokens_per_step_detection", "spec_tokens_per_step_detection", "decode_spec", 2),
+    ("decode_tokens_per_sec_spec_regionqa", "decode_tokens_per_sec_spec_regionqa", "decode_spec", 1),
+    ("spec_acceptance_regionqa", "spec_acceptance_regionqa", "decode_spec", 3),
+    ("spec_tokens_per_step_regionqa", "spec_tokens_per_step_regionqa", "decode_spec", 2),
     ("decode_tokens_per_sec_spec_bs1_synthetic", "decode_tokens_per_sec_spec_bs1", "decode_spec", 1),
     ("decode_tokens_per_sec_spec_bs1_acc75", "decode_tokens_per_sec_spec_bs1_acc75", "decode_spec", 1),
     ("decode_tokens_per_sec_spec_bs1_acc50", "decode_tokens_per_sec_spec_bs1_acc50", "decode_spec", 1),
@@ -965,6 +1528,18 @@ EXTRA_SPEC = (
     ("spec_verify_iteration_s_k8", "spec_iteration_s", "decode_spec", 5),
     ("spec_mean_tokens_per_step", "spec_mean_tokens_per_step", "decode_spec", 2),
     ("train_tokens_per_sec_lora_r128_int8_seq640", "train_tokens_per_sec", "train", 1),
+    ("train_mfu_lora_r128_int8", "train_mfu", "train", 3),
+    ("train_tokens_per_sec_accum8", "train_tokens_per_sec_accum8", "train", 1),
+    ("train_mfu_accum8", "train_mfu_accum8", "train", 3),
+    ("mxu_peak_tflops", "mxu_peak_tflops", "train", 0),
+    ("train_tokens_per_sec_bf16full_1b", "train_tokens_per_sec_bf16full_1b", "train_bf16", 1),
+    ("train_mfu_bf16full_1b", "train_mfu_bf16full_1b", "train_bf16", 3),
+    ("encode_sustained_fps_hostpre", "encode_sustained_fps_hostpre", "encode_pipeline", 1),
+    ("encode_sustained_fps_devicepre", "encode_sustained_fps_devicepre", "encode_pipeline", 1),
+    ("encode_sustained_vs_deviceonly", "encode_sustained_vs_deviceonly", "encode_pipeline", 2),
+    ("eval_examples_per_sec_bs8", "eval_examples_per_sec_bs8", "eval", 2),
+    ("eval_examples_per_sec_bs1", "eval_examples_per_sec_bs1", "eval", 2),
+    ("eval_bs8_vs_bs1", "eval_bs8_vs_bs1", "eval", 2),
     ("ttft_s_turn2_suffix64_over640", "ttft_s_turn2_suffix64_over640", "ttft_turn2", 4),
     ("serve_aggregate_tokens_per_sec_8streams", "serve_aggregate_tokens_per_sec_8streams", "serve", 1),
     ("preprocess_native_frames_per_sec_host", "preprocess_native_frames_per_sec", "preprocess", 1),
@@ -972,6 +1547,9 @@ EXTRA_SPEC = (
     ("ttft_s_prefix_miss_515tok", "ttft_s_prefix_miss_515tok", "ttft_prefix", 4),
     ("ttft_s_prefix_hit_515tok", "ttft_s_prefix_hit_515tok", "ttft_prefix", 4),
     ("prefix_hit_ttft_speedup", "prefix_hit_ttft_speedup", "ttft_prefix", 2),
+    ("prefix_hit_ttft_speedup_128", "prefix_hit_ttft_speedup_128", "ttft_prefix_curve", 2),
+    ("prefix_hit_ttft_speedup_1024", "prefix_hit_ttft_speedup_1024", "ttft_prefix_curve", 2),
+    ("prefix_hit_ttft_speedup_2048", "prefix_hit_ttft_speedup_2048", "ttft_prefix_curve", 2),
 )
 
 

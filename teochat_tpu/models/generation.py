@@ -464,6 +464,7 @@ def generate_tokens_spec(
     do_sample: bool = False,
     top_p: float = 1.0,
     draft_keep_prob: Optional[jnp.ndarray] = None,
+    oracle_ids: Optional[jnp.ndarray] = None,
     adapter_route: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Decode with prompt-lookup speculation (greedy or sampling).
@@ -475,6 +476,17 @@ def generate_tokens_spec(
     default, production) drafts verbatim; the corruption branch is not
     traced. Corruption never changes OUTPUT correctness — wrong drafts are
     rejected by verification exactly like naturally-wrong ones.
+
+    oracle_ids: OPTIONAL [B, max_new_tokens] int32 — benchmarking knob that
+    makes the greedy TARGET sequence be these tokens (positions < 0 fall back
+    to the model argmax) while every forward pass still runs in full (the
+    argmax stays fused into the target via a data-dependent `where`, so XLA
+    cannot dead-code the verify logits). With random-init weights the model's
+    own greedy output is meaningless text; forcing the target to a REAL
+    TEOChat response shape (bbox lists, class-name answers — reference
+    response formats: videollava/eval/detection.py:197-211) measures the
+    TRUE prompt-lookup acceptance rate on that workload with true device
+    step costs. Production (None) is untraced and unchanged.
 
     Returns (tokens [B, max_new_tokens], n_gen [B], steps, drafts_accepted) —
     `steps` is the number of verify iterations actually run (scalar int32);
@@ -517,7 +529,7 @@ def generate_tokens_spec(
         max_new_tokens=max_new_tokens, pad_id=pad_id, spec_k=spec_k,
         temperature=temperature, do_sample=do_sample, top_p=top_p,
         emb_dtype=inputs_embeds.dtype, draft_keep_prob=draft_keep_prob,
-        adapter_route=adapter_route,
+        oracle_ids=oracle_ids, adapter_route=adapter_route,
     )
     return tokens, n_gen, steps, accepted
 
@@ -525,7 +537,8 @@ def generate_tokens_spec(
 def _run_spec_decode_loop(params, cfg, cache, logits0, start_pos, prompt_ids,
                           prompt_id_lens, stop, rng, *, max_new_tokens,
                           pad_id, spec_k, temperature, do_sample, top_p,
-                          emb_dtype, draft_keep_prob=None, adapter_route=None):
+                          emb_dtype, draft_keep_prob=None, oracle_ids=None,
+                          adapter_route=None):
     """The speculative decode while_loop (called inside a jit context).
 
     start_pos: [B] cache slot of the first generated token per row (all prior
@@ -581,6 +594,12 @@ def _run_spec_decode_loop(params, cfg, cache, logits0, start_pos, prompt_ids,
         else:
             u_rng, next_rng = cur_rng, cur_rng
             tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            if oracle_ids is not None:
+                # bench-only: the target sequence is the oracle where it has
+                # tokens; the where keeps the argmax (and thus the full
+                # forward) live against dead-code elimination
+                o0 = oracle_ids[rows, jnp.minimum(n_gen, max_new_tokens - 1)]
+                tok0 = jnp.where(o0 >= 0, o0, tok0)
         tok0 = jnp.where(done, pad_id, tok0)
         pos0 = start_pos + n_gen  # cache slot of tok0, per row
         valid0 = ~done
@@ -625,6 +644,17 @@ def _run_spec_decode_loop(params, cfg, cache, logits0, start_pos, prompt_ids,
             # draft j is correct iff it equals the greedy target after
             # position j-1 (AND all earlier drafts matched — cumprod below)
             targets = jnp.argmax(blk_logits, axis=-1).astype(jnp.int32)
+            if oracle_ids is not None:
+                # target at draft j is the oracle's output slot n_gen + j
+                # (n_gen here already counts tok0, recorded above)
+                oidx = jnp.clip(
+                    n_gen[:, None] + jnp.arange(k)[None, :],
+                    0, max_new_tokens - 1,
+                )
+                otgt = jnp.take_along_axis(oracle_ids, oidx, axis=1)
+                targets = targets.at[:, :k].set(
+                    jnp.where(otgt >= 0, otgt, targets[:, :k])
+                )
             match = drafts == targets[:, :k]
         acc = jnp.cumprod(match.astype(jnp.int32), axis=1).astype(bool)
         rec = jnp.zeros((b,), jnp.int32)  # drafts recorded this iteration

@@ -187,16 +187,13 @@ def _prefill_slot_tail(params, cache, state, cfg, emb, pos_ids, seq_len,
 _fuse_embeds = jax.jit(teochat_mod.fuse_embeds)
 
 
-@partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
-def _copy_cache_row(cache, src_row, dst_row, length):
-    """Copy KV slots [0, length) of cache row src_row into row dst_row, in
-    place (donated). One program serves both prefix-cache directions: storing
-    a freshly prefilled prompt prefix into a pool row, and seeding a new
-    request's slot from a pool hit. `length` is bucketed by the caller so the
-    compile count stays bounded; copying past the prefix's valid slots is
-    harmless (see BatchEngine prefix-cache notes: every garbage slot is
-    overwritten by the suffix panel or by a decode write before anything
-    attends it)."""
+def _copy_row(cache, src_row, dst_row, length):
+    """Copy KV slots [0, length) of cache row src_row into row dst_row.
+    Trace-time body shared by the standalone `_copy_cache_row` program (pool
+    stores) and the fused hit-path prefill `_prefill_slot_from_prefix`.
+    Copying past the prefix's valid slots is harmless (see BatchEngine
+    prefix-cache notes: every garbage slot is overwritten by the suffix panel
+    or by a decode write before anything attends it)."""
     zero = jnp.asarray(0, jnp.int32)
     starts = (zero, src_row, zero, zero, zero)
     sizes_k = (cache.k.shape[0], 1, length, cache.k.shape[3], cache.k.shape[4])
@@ -207,6 +204,68 @@ def _copy_cache_row(cache, src_row, dst_row, length):
         k=jax.lax.dynamic_update_slice(cache.k, k, dst),
         v=jax.lax.dynamic_update_slice(cache.v, v, dst),
     )
+
+
+@partial(jax.jit, static_argnames=("length",), donate_argnums=(0,))
+def _copy_cache_row(cache, src_row, dst_row, length):
+    """Standalone row copy (donated, in place): pool stores and the chunked
+    hit path. `length` is bucketed by the caller so compiles stay bounded."""
+    return _copy_row(cache, src_row, dst_row, length)
+
+
+@partial(jax.jit, static_argnames=("cfg", "w", "copy_len"),
+         donate_argnums=(1, 2))
+def _prefill_slot_from_prefix(params, cache, state, cfg, plan, vision_tokens,
+                              src_row, slot, plen, fused_len, w, copy_len,
+                              temperature, do_sample, hist_row, hist_n,
+                              adapter):
+    """Prefix-cache hit, fused into ONE program: copy the pooled prefix row's
+    KV [0, copy_len) into cache row `slot`, fuse embeddings, prefill ONLY the
+    `w`-token suffix window starting at `plen` (masked attention over the
+    seeded prefix KV), sample the first token, and activate the slot.
+
+    Fusing matters for the hit to WIN: each program dispatch costs ~39 ms of
+    fixed tunnel/host overhead (see module docstring), and the unfused hit
+    path (fuse_embeds + row copy + suffix tail = 3 dispatches) cost as much
+    as the miss's single monolithic prefill at a 512-token prefix
+    (BENCH_r04: hit 0.206 s vs miss 0.198 s). One dispatch + ~2 ms of device
+    copy + a 32-token suffix prefill beats a 768-token full prefill on both
+    device time AND dispatch count. `plen` is traced (no recompile per
+    distinct pooled length); `w`/`copy_len` are host-bucketed statics."""
+    cache = _copy_row(cache, src_row, slot, copy_len)
+    embeds = teochat_mod.fuse_embeds(params, plan, vision_tokens)
+    # pad by w so the dynamic window [plen, plen+w) is always in bounds
+    # (plen < fused_len <= pad_to); the pad tail is positionally garbage but
+    # its K/V land past fused_len where decode overwrites before attending
+    embeds = jnp.pad(embeds, ((0, 0), (0, w), (0, 0)))
+    emb = jax.lax.dynamic_slice(
+        embeds, (jnp.asarray(0, jnp.int32), plen, jnp.asarray(0, jnp.int32)),
+        (embeds.shape[0], w, embeds.shape[2]),
+    )
+    pos = plen + jnp.arange(w, dtype=jnp.int32)[None, :]
+    logits, cache = backend_forward(
+        params, cfg, emb, position_ids=pos, cache=cache,
+        write_slots=pos, kv_mask=None, logits_mode="last",
+        last_index=(fused_len - 1 - plen)[None], cache_row_offset=slot,
+        prefill_start=plen, attend_cache=True,
+        adapter_route=_engine_route(params, adapter),
+    )
+    step_rng, rng = jax.random.split(state["rng"])
+    tok = _sample_rows(logits[:, 0], step_rng, temperature, do_sample)
+    hist = state["hist"].at[slot].set(hist_row)
+    hist = hist.at[slot, hist_n].set(tok[0])
+    state = {
+        "last_tokens": state["last_tokens"].at[slot].set(tok[0]),
+        "positions": state["positions"].at[slot].set(fused_len),
+        "active": state["active"].at[slot].set(True),
+        "temperature": state["temperature"].at[slot].set(temperature[0]),
+        "do_sample": state["do_sample"].at[slot].set(do_sample[0]),
+        "hist": hist,
+        "hist_len": state["hist_len"].at[slot].set(hist_n + 1),
+        "adapter": state["adapter"].at[slot].set(adapter[0]),
+        "rng": rng,
+    }
+    return tok, cache, state
 
 
 # Suffix-prefill panel widths (prefix-cache hits prefill only [plen, end)):
@@ -663,6 +722,16 @@ class BatchEngine:
             # (its requests may finish and their callers are waiting)
             self._flush_inflight()
         admitted = self._admit(block=block)
+        if self._pending_first:
+            # read fresh admissions' first tokens BEFORE dispatching the next
+            # chunk: the tunnel serializes device->host reads behind queued
+            # programs, so a fetch issued after the chunk dispatch pays the
+            # whole chunk's device time in TTFT (probe: ~45 ms of the ~200 ms
+            # engine TTFT). Cost: the device idles one fetch round-trip per
+            # ADMISSION (an inflight chunk from the previous iteration still
+            # overlaps it); benefit: TTFT drops a chunk, and one-token
+            # requests free their slot before the chunk wastes decode on it.
+            self._resolve_pending_first()
         # the slots THIS chunk decodes: mid-prefill rows are captured as None
         # (inactive in the device state at dispatch time, they emit pads —
         # even if their prefill completes during the overlap zone below)
@@ -767,6 +836,30 @@ class BatchEngine:
             # mask slot <= pos admits it (slots >= fused_len).
             self.stats["prefix_hits"] += 1
             self.stats["prefix_tokens_saved"] += plen
+            suffix = fused_len - plen
+            if not (self.prefill_chunk is not None
+                    and suffix > self.prefill_chunk):
+                # short suffix: ONE fused program (copy + fuse + suffix
+                # prefill + sample + activate) — the dispatch-count win that
+                # makes a hit beat a miss (see _prefill_slot_from_prefix)
+                w = teochat_mod.round_to_bucket(suffix, SUFFIX_BUCKETS)
+                w = min(w, self.max_len - plen)
+                tok, self.cache, self._state = _prefill_slot_from_prefix(
+                    model.params["llm"], self.cache, self._state, cfg.llm,
+                    plan, vision_tokens.astype(model._dtype),
+                    jnp.asarray(prefix_row, jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
+                    jnp.asarray(plen, jnp.int32),
+                    jnp.asarray(fused_len, jnp.int32),
+                    w, self._copy_len(plen),
+                    jnp.asarray([req.gen.temperature], jnp.float32),
+                    jnp.asarray([req.gen.do_sample], bool),
+                    jnp.asarray(row), jnp.asarray(n, jnp.int32),
+                    jnp.asarray([req.adapter], jnp.int32),
+                )
+                self._pending_first.append((req, slot, tok))
+                self._maybe_store_prefix(req, slot)
+                return
             self.cache = _copy_cache_row(
                 self.cache,
                 jnp.asarray(prefix_row, jnp.int32),
@@ -776,42 +869,19 @@ class BatchEngine:
             embeds = _fuse_embeds(
                 model.params["llm"], plan, vision_tokens.astype(model._dtype)
             )
-            suffix = fused_len - plen
-            if self.prefill_chunk is not None and suffix > self.prefill_chunk:
-                c = self.prefill_chunk
-                nchunks = -(-suffix // c)
-                end = plen + nchunks * c
-                if embeds.shape[1] < end:
-                    embeds = jnp.pad(
-                        embeds, ((0, 0), (0, end - embeds.shape[1]), (0, 0))
-                    )
-                req.pf = {
-                    "embeds": embeds[:, plen:end], "next": 0,
-                    "nchunks": nchunks, "fused_len": fused_len,
-                    "offset": plen, "hist_row": row, "hist_n": n,
-                }
-                self._advance_one_prefill(req, slot)
-                return
-            w = teochat_mod.round_to_bucket(suffix, SUFFIX_BUCKETS)
-            w = min(w, self.max_len - plen)
-            if embeds.shape[1] < plen + w:
+            c = self.prefill_chunk
+            nchunks = -(-suffix // c)
+            end = plen + nchunks * c
+            if embeds.shape[1] < end:
                 embeds = jnp.pad(
-                    embeds, ((0, 0), (0, plen + w - embeds.shape[1]), (0, 0))
+                    embeds, ((0, 0), (0, end - embeds.shape[1]), (0, 0))
                 )
-            pos = jnp.arange(plen, plen + w, dtype=jnp.int32)[None, :]
-            tok, self.cache, self._state = _prefill_slot_tail(
-                model.params["llm"], self.cache, self._state, cfg.llm,
-                embeds[:, plen:plen + w], pos,
-                jnp.asarray(fused_len, jnp.int32),
-                jnp.asarray([fused_len - 1 - plen], jnp.int32),
-                jnp.asarray(slot, jnp.int32),
-                jnp.asarray([req.gen.temperature], jnp.float32),
-                jnp.asarray([req.gen.do_sample], bool),
-                jnp.asarray(row), jnp.asarray(n, jnp.int32),
-                jnp.asarray([req.adapter], jnp.int32),
-            )
-            self._pending_first.append((req, slot, tok))
-            self._maybe_store_prefix(req, slot)
+            req.pf = {
+                "embeds": embeds[:, plen:end], "next": 0,
+                "nchunks": nchunks, "fused_len": fused_len,
+                "offset": plen, "hist_row": row, "hist_n": n,
+            }
+            self._advance_one_prefill(req, slot)
             return
         if self.prefill_chunk is not None and fused_len > self.prefill_chunk:
             # chunked prefill: fuse embeds once, then commit K/V one
@@ -999,7 +1069,9 @@ class BatchEngine:
         """Read deferred first tokens (blocks until their prefills finish)."""
         pending, self._pending_first = self._pending_first, []
         for req, slot, tok in pending:
-            req.tokens.append(int(tok[0]))
+            # np.asarray: ONE d2h copy. int(tok[0]) would dispatch a gather
+            # program first — an extra tunnel round-trip per admission
+            req.tokens.append(int(np.asarray(tok)[0]))
             req.remaining -= 1
             req._push_stream()
             self._finish_if_done(req, slot)

@@ -248,3 +248,53 @@ def test_spec_fuzz_parity(model):
         base = model.generate(rows, None, _greedy(0, max_new=mn))
         spec = model.generate(rows, None, _greedy(k, max_new=mn))
         assert spec == base, (trial, b, k, mn)
+
+
+def test_spec_oracle_targets_emitted_exactly():
+    """oracle_ids (bench-only workload forcing) makes the greedy target BE the
+    oracle sequence: emitted tokens must equal the oracle verbatim, and a
+    self-repeating oracle that echoes the prompt must get drafts accepted
+    (that is the measurement: prompt-lookup acceptance on realistic text)."""
+    import jax.numpy as jnp
+
+    from teochat_tpu.config import tiny_test_config
+    from teochat_tpu.models import llama as llama_mod
+
+    cfg = tiny_test_config().llm
+    params = llama_mod.init_llama(jax.random.PRNGKey(0), cfg)
+    b, s, max_new, k = 1, 12, 16, 4
+    embeds = jnp.asarray(
+        np.random.RandomState(0).randn(b, s, cfg.hidden_size) * 0.1,
+        jnp.float32,
+    )
+    pos = jnp.arange(s, dtype=jnp.int32)[None]
+    prompt = [1, 30, 31, 32, 33, 9, 8, 30, 31, 32, 33, 5]
+    prompt_ids = jnp.asarray([prompt], jnp.int32)
+    stop = gen_mod.StopSpec(
+        keyword_ids=jnp.zeros((1, 1), jnp.int32),
+        keyword_lens=jnp.zeros((1,), jnp.int32),
+        eos_id=jnp.asarray(-1, jnp.int32),
+    )
+    # oracle echoes the prompt's 30..33 run twice -> prompt-lookup drafts hit
+    oracle = [30, 31, 32, 33, 9, 8, 30, 31, 32, 33, 9, 8, 30, 31, 32, 33]
+
+    def run(o):
+        return gen_mod.generate_tokens_spec(
+            params, cfg, embeds, jnp.asarray([s], jnp.int32),
+            jnp.ones((b, s), bool), pos, prompt_ids,
+            jnp.asarray([s], jnp.int32), stop,
+            max_new_tokens=max_new, cache_len=s + max_new + k + 1,
+            spec_k=k, oracle_ids=o,
+        )
+
+    toks, n, steps, acc = run(jnp.asarray([oracle], jnp.int32))
+    assert int(n[0]) == max_new
+    assert np.asarray(toks)[0].tolist() == oracle
+    assert int(acc) > 0, "echoing oracle must get drafts accepted"
+    assert int(steps) < max_new, "acceptances must shorten the loop"
+    # positions < 0 fall back to the model argmax: a disabled oracle row
+    # reproduces plain speculative greedy
+    base_toks, base_n, _, _ = run(None)
+    off_toks, off_n, _, _ = run(jnp.full((1, max_new), -1, jnp.int32))
+    assert np.asarray(off_toks).tolist() == np.asarray(base_toks).tolist()
+    assert np.asarray(off_n).tolist() == np.asarray(base_n).tolist()
