@@ -189,6 +189,30 @@ def _prune_checkpoints(output_dir: str, keep: int) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
 
+def _wandb_writer(output_dir: str):
+    """SummaryWriter-shaped wandb adapter (add_scalar/close), or None when
+    wandb is not installed — the train loop logs to console either way."""
+    try:
+        import wandb
+    except ImportError:
+        rank0_print("report_to=wandb requested but wandb is not installed; "
+                    "falling back to console logging")
+        return None
+
+    class _W:
+        def __init__(self):
+            self._run = wandb.init(project="teochat-tpu", dir=output_dir,
+                                   resume="allow")
+
+        def add_scalar(self, tag, value, step):
+            wandb.log({tag: value}, step=step)
+
+        def close(self):
+            wandb.finish()
+
+    return _W()
+
+
 def train(
     model_args: ModelArguments,
     data_args: DataArguments,
@@ -434,6 +458,11 @@ def train(
                 writer = SummaryWriter(os.path.join(training_args.output_dir, "tb"))
             except ImportError:
                 pass
+        elif training_args.report_to == "wandb":
+            # reference parity: --report_to wandb (train.py:925-928 routes
+            # HF Trainer logging to wandb). Import-guarded: absent wandb
+            # degrades to console logging instead of failing the run.
+            writer = _wandb_writer(training_args.output_dir)
 
         sampler = LengthGroupedSampler(
             training_args.per_device_train_batch_size,

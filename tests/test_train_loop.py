@@ -291,3 +291,12 @@ def test_pipeline_parallel_training_run(tmp_path):
     assert cfgs
     saved = json.load(open(sorted(cfgs)[-1]))
     assert saved.get("llm", {}).get("pipeline_axis") is None
+
+
+def test_wandb_writer_degrades_without_wandb():
+    """report_to=wandb must degrade to console logging (writer None) when
+    wandb is absent from the image — never fail the run (reference
+    train.py:925-928 wires wandb through HF Trainer)."""
+    from teochat_tpu.train.train import _wandb_writer
+
+    assert _wandb_writer("/tmp/does-not-matter") is None
