@@ -355,9 +355,11 @@ def _decode_chunk(params, cache, state, cfg, chunk, eos_id, pad_id):
     t_max = cache.max_len
     trash = t_max - 1
     route = _engine_route(params, state["adapter"])
+    rows = jnp.arange(b)
+    h_max = state["hist"].shape[1]
 
     def step(carry, _):
-        tok, pos, act, cache, rng = carry
+        tok, pos, act, cache, rng, hist, hl = carry
         step_rng, rng = jax.random.split(rng)
         emb = backend_embed(params, cfg, tok[:, None])
         write = jnp.where(act, pos, trash)[:, None]
@@ -369,18 +371,24 @@ def _decode_chunk(params, cache, state, cfg, chunk, eos_id, pad_id):
         )
         nxt = _sample_rows(logits[:, -1], step_rng, temperature, do_sample)
         nxt = jnp.where(act, nxt, pad_id)
+        # keep the draft history fresh even in plain chunks, so an
+        # adaptive-spec engine's probe chunk drafts from REAL context (two
+        # scatters per step — noise next to the 7B forward)
+        h_idx = jnp.minimum(hl, h_max - 1)
+        hist = hist.at[rows, h_idx].set(jnp.where(act, nxt, hist[rows, h_idx]))
+        hl = hl + act.astype(jnp.int32)
         pos = pos + act.astype(jnp.int32)
         act = act & (nxt != eos_id)
-        return (nxt, pos, act, cache, rng), nxt
+        return (nxt, pos, act, cache, rng, hist, hl), nxt
 
-    (tok, positions, active, cache, rng), toks = jax.lax.scan(
+    (tok, positions, active, cache, rng, hist, hl), toks = jax.lax.scan(
         step,
         (state["last_tokens"], state["positions"], state["active"], cache,
-         state["rng"]),
+         state["rng"], state["hist"], state["hist_len"]),
         None, length=chunk,
     )
     state = {**state, "last_tokens": tok, "positions": positions,
-             "active": active, "rng": rng}
+             "active": active, "rng": rng, "hist": hist, "hist_len": hl}
     return toks.T, cache, state
 
 
@@ -522,15 +530,34 @@ class BatchEngine:
     def __init__(self, model: teochat_mod.TEOChat, *, max_slots: int = 4,
                  max_len: int = 2048, chunk: int = 8, kv_dtype=None,
                  speculative_k: int = 0,
+                 adaptive_spec: bool = True,
+                 spec_disable_below: float = 1.3,
+                 spec_probe_every: int = 32,
                  prefill_chunk: Optional[int] = None,
                  prefix_cache_slots: int = 0,
-                 prefix_min_tokens: int = 16):
+                 prefix_min_tokens: int = 256):
         self.model = model
         self.cfg: TEOChatConfig = model.cfg
         self.max_slots = max_slots
         self.max_len = max_len
         self.chunk = chunk
         self.speculative_k = speculative_k
+        # Adaptive speculation: prompt-lookup drafting only pays when outputs
+        # echo their context (measured on flagship shapes, bench decode_spec:
+        # region-QA echo 2.3x at 19.5% acceptance; fresh-coordinate detection
+        # 0.94x at 1% — drafting LOSES there). The engine tracks an EMA of
+        # tokens emitted per verify iteration across spec chunks; below
+        # `spec_disable_below` it falls back to PLAIN decode chunks (same
+        # greedy tokens — speculation never changes outputs) and re-probes
+        # with one spec chunk every `spec_probe_every` chunks in case the
+        # workload turned echo-friendly (e.g. a multi-turn session quoting
+        # itself).
+        self.adaptive_spec = adaptive_spec
+        self.spec_disable_below = spec_disable_below
+        self.spec_probe_every = spec_probe_every
+        self._spec_ema: Optional[float] = None
+        self._spec_on = True
+        self._spec_probe_in = 0
         # chunked prefill: prompts longer than this many fused tokens commit
         # their K/V in prefill_chunk-sized pieces, ONE piece per scheduling
         # iteration, so a long admission stalls running decodes by at most
@@ -550,6 +577,12 @@ class BatchEngine:
         # ids at the same positions. 0 disables (default; decode programs are
         # unchanged either way — extra rows only widen the cache reads' row
         # slice).
+        #
+        # prefix_min_tokens (the auto-bypass) defaults to 256: the measured
+        # hit/miss TTFT curve on the flagship (bench ttft_prefix_curve) shows
+        # 0.999x at a 128-token prefix (fixed dispatch/fetch costs dominate
+        # a prefill that small) and 1.36x+ at 512 — the crossover sits
+        # between, so prefixes shorter than ~256 skip the pool entirely.
         self.prefix_cache_slots = prefix_cache_slots
         self.prefix_min_tokens = prefix_min_tokens
         self._prefix_entries: List[dict] = []  # {key, plen, row, stamp}
@@ -1076,10 +1109,46 @@ class BatchEngine:
             req._push_stream()
             self._finish_if_done(req, slot)
 
+    def _update_spec_mode(self, tokens: int, iterations: int):
+        """Adaptive-speculation controller (see __init__): fold one spec
+        chunk's tokens-per-iteration into the EMA and flip drafting on/off."""
+        if not (self.adaptive_spec and self.speculative_k > 0) or not iterations:
+            return
+        rate = tokens / iterations
+        if not self._spec_on:
+            # probe chunk: decide directly on its rate (the stale EMA is why
+            # drafting was paused in the first place)
+            if rate >= self.spec_disable_below:
+                self._spec_on = True
+                self._spec_ema = rate
+                self.stats["spec_mode_switches"] = (
+                    self.stats.get("spec_mode_switches", 0) + 1
+                )
+            else:
+                self._spec_probe_in = self.spec_probe_every
+            return
+        self._spec_ema = (
+            rate if self._spec_ema is None
+            else 0.7 * self._spec_ema + 0.3 * rate
+        )
+        if self._spec_ema < self.spec_disable_below:
+            self._spec_on = False
+            self._spec_probe_in = self.spec_probe_every
+            self.stats["spec_mode_switches"] = (
+                self.stats.get("spec_mode_switches", 0) + 1
+            )
+
     def _dispatch_chunk(self):
-        """Async-dispatch one decode chunk over the device-resident state."""
+        """Async-dispatch one decode chunk over the device-resident state.
+        Returns a 2-tuple for a speculative chunk, a 1-tuple for a plain one
+        (_apply_chunk dispatches on the arity, so an adaptive-spec engine
+        can interleave both program kinds)."""
         cfg = self.cfg
-        if self.speculative_k > 0:
+        use_spec = self.speculative_k > 0
+        if use_spec and self.adaptive_spec and not self._spec_on:
+            self._spec_probe_in -= 1
+            use_spec = self._spec_probe_in <= 0  # probe chunk re-measures
+        if use_spec:
             toks3, counts, self.cache, self._state = _decode_chunk_spec(
                 self.model.params["llm"], self.cache, self._state, cfg.llm,
                 self.chunk, self.speculative_k,
@@ -1095,7 +1164,7 @@ class BatchEngine:
     def _apply_chunk(self, snapshot, chunk_out):
         """Download chunk tokens and hand them to the snapshot's requests."""
         cfg = self.cfg
-        if self.speculative_k > 0:
+        if len(chunk_out) == 2:  # speculative chunk (see _dispatch_chunk)
             toks3, counts = chunk_out
             toks3 = np.asarray(toks3)  # [B, chunk, k+1]
             counts = np.asarray(counts)  # [B, chunk]
@@ -1106,6 +1175,7 @@ class BatchEngine:
             self.stats["spec_tokens"] = (
                 self.stats.get("spec_tokens", 0) + int(counts.sum())
             )
+            self._update_spec_mode(int(counts.sum()), int(emitting.sum()))
             slot_tokens = [
                 [int(t) for c in range(self.chunk)
                  for t in toks3[b, c, : counts[b, c]]]

@@ -349,7 +349,7 @@ def main(argv=None):
                         "rows; requests sharing a leading text run (e.g. the "
                         "system prompt) seed their KV from the pool and "
                         "prefill only the suffix (engine mode only; 0 = off)")
-    p.add_argument("--prefix_min_tokens", type=int, default=16,
+    p.add_argument("--prefix_min_tokens", type=int, default=256,
                    help="only pool text prefixes at least this many tokens")
     p.add_argument("--speculative_k", type=int, default=0,
                    help="verify k prompt-lookup drafts per decode step "

@@ -519,3 +519,59 @@ def test_engine_chunked_prefill_short_prompt_uses_plain_path(model):
         assert engine.submit(ids, None, gen) == want
     finally:
         engine.shutdown()
+
+
+def test_adaptive_spec_controller_switches():
+    """_update_spec_mode: low tokens/iteration disables drafting, a good
+    probe re-enables it, and bad probes stay disabled (re-armed probe
+    countdown)."""
+    engine = BatchEngine.__new__(BatchEngine)  # controller state only
+    engine.speculative_k = 4
+    engine.adaptive_spec = True
+    engine.spec_disable_below = 1.3
+    engine.spec_probe_every = 8
+    engine._spec_ema = None
+    engine._spec_on = True
+    engine._spec_probe_in = 0
+    engine.stats = {}
+
+    engine._update_spec_mode(tokens=8, iterations=8)  # 1.0 tok/iter
+    assert not engine._spec_on
+    assert engine._spec_probe_in == 8
+    assert engine.stats["spec_mode_switches"] == 1
+
+    engine._update_spec_mode(tokens=9, iterations=8)  # bad probe: ~1.1
+    assert not engine._spec_on
+    assert engine._spec_probe_in == 8
+
+    engine._update_spec_mode(tokens=24, iterations=8)  # good probe: 3.0
+    assert engine._spec_on
+    assert engine.stats["spec_mode_switches"] == 2
+
+    # EMA damping: one mediocre chunk after a string of good ones stays on
+    engine._update_spec_mode(tokens=24, iterations=8)
+    engine._update_spec_mode(tokens=10, iterations=8)
+    assert engine._spec_on
+
+
+def test_adaptive_spec_outputs_exact(model):
+    """An adaptive spec engine that falls back to plain chunks mid-stream
+    still emits exactly the plain engine's greedy tokens (hist upkeep in
+    _decode_chunk keeps later probe chunks coherent)."""
+    gen = GenerationConfig(max_new_tokens=10, temperature=0.0,
+                           do_sample=False, stop_strings=())
+    plain = BatchEngine(model, max_slots=1, max_len=96, chunk=2).start()
+    try:
+        want = plain.submit([1, 9, 12, 4, 7], None, gen)
+    finally:
+        plain.shutdown()
+    # probe_every=1: alternates probe/plain aggressively when acceptance
+    # is low — exercises BOTH program kinds in one request's stream
+    spec = BatchEngine(model, max_slots=1, max_len=96, chunk=2,
+                       speculative_k=3, adaptive_spec=True,
+                       spec_disable_below=5.0, spec_probe_every=1).start()
+    try:
+        got = spec.submit([1, 9, 12, 4, 7], None, gen)
+    finally:
+        spec.shutdown()
+    assert got == want
