@@ -203,16 +203,17 @@ def phase_encode_pipeline():
             r = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_CUBIC)
             top, left = (nh - 224) // 2, (nw - 224) // 2
             outb[j] = r[top : top + 224, left : left + 224]
-        return jax.device_put(outb)  # async: issued from the worker thread
+        return outb  # numpy — device calls from worker threads wedge the
+        # single-client tunnel (measured: a device_put here hung the phase)
 
     def run_linkopt_path():
         with ThreadPoolExecutor(max_workers=1) as pool:
             fut = pool.submit(prep_small, 0)
             for i in range(nb):
-                dev_u8 = fut.result()
+                host_u8 = fut.result()
                 if i + 1 < nb:
                     fut = pool.submit(prep_small, i + 1)
-                x = preprocess_frames(dev_u8).astype(jnp.bfloat16)
+                x = preprocess_frames(jnp.asarray(host_u8)).astype(jnp.bfloat16)
                 out[0] = teochat_mod.encode_frames(params, cfg, x)
 
     def sync():
@@ -317,30 +318,39 @@ def _measure_hbm_peak_gbps():
     XLA's elementwise path does not saturate the DMA engines the way
     multi-panel weight streaming does."""
     import jax, jax.numpy as jnp
+    from functools import partial
 
     n, k = 16384, 8
     ws = [jnp.full((n, n), 1e-4, jnp.bfloat16) for _ in range(k)]
     x = jnp.ones((8, n), jnp.bfloat16)
 
-    @jax.jit
-    def chain(x, ws):
+    @partial(jax.jit, static_argnames=("reps",))
+    def chain(x, ws, reps):
         acc = jnp.zeros((8, n), jnp.float32)
-        for w in ws:
-            acc = acc + (x @ w).astype(jnp.float32)
+        for r in range(reps):
+            for w in ws:
+                acc = acc + (x @ w).astype(jnp.float32)
+            # serialize reps through a data dependence: identical reps would
+            # be CSE'd into one (first slope probe measured a nonsense
+            # 15 TB/s), and VMEM can't hold 4.3 GB, so every rep re-streams
+            # all k panels from HBM
+            x = x + (acc[:, :1] * 1e-12).astype(jnp.bfloat16)
         return acc
 
-    holder = [None]
+    def run(reps):
+        t0 = time.perf_counter()
+        out = chain(x, ws, reps)
+        float(out[0, 0])
+        return time.perf_counter() - t0
 
-    def fn():
-        holder[0] = chain(x, ws)
-
-    def sync():
-        float(holder[0][0, 0])
-
-    dt = _timeit(fn, iters=3, sync=sync)
-    holder.clear()
+    # two-point slope removes the fixed dispatch+fetch round-trip (~40 ms on
+    # this tunnel — same order as the streamed bytes themselves, so a single
+    # absolute timing under-reads by ~30%)
+    run(1), run(4)  # compile both
+    t1 = sorted(run(1) for _ in range(3))[1]
+    t4 = sorted(run(4) for _ in range(3))[1]
     del ws
-    return k * 2 * n * n / dt / 1e9
+    return 3 * k * 2 * n * n / max(t4 - t1, 1e-9) / 1e9
 
 
 def _roofline_keys(tok_s: float, weight_bytes: int, kv_bytes: float,
@@ -1356,7 +1366,7 @@ PHASE_EST_S = {
     "decode_int4": 90, "ttft_int8act": 30, "ttft_turn2": 30,
     "decode_spec": 90, "decode_bs8": 40, "decode_bs16": 50,
     "decode_bs32": 60, "preprocess": 15, "ttft_prefix": 60,
-    "ttft_prefix_curve": 180, "encode_pipeline": 60, "train_bf16": 90,
+    "ttft_prefix_curve": 180, "encode_pipeline": 120, "train_bf16": 90,
     "eval": 150,
 }
 

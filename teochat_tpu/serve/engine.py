@@ -701,6 +701,13 @@ class BatchEngine:
     def shutdown(self):
         self._stop = True
         self._queue.put(None)  # wake the loop
+        # join (except from the loop thread itself): the daemon thread holds
+        # the engine — and through it the params + KV cache — so a caller
+        # that shuts down one engine and builds another (bench phases, tests)
+        # would otherwise race 2x 7B of live buffers against the allocator
+        t = self._thread
+        if t is not None and t is not threading.current_thread():
+            t.join(timeout=60.0)
 
     def run_forever(self):
         while not self._stop:
@@ -760,11 +767,19 @@ class BatchEngine:
             # chunk: the tunnel serializes device->host reads behind queued
             # programs, so a fetch issued after the chunk dispatch pays the
             # whole chunk's device time in TTFT (probe: ~45 ms of the ~200 ms
-            # engine TTFT). Cost: the device idles one fetch round-trip per
-            # ADMISSION (an inflight chunk from the previous iteration still
-            # overlaps it); benefit: TTFT drops a chunk, and one-token
-            # requests free their slot before the chunk wastes decode on it.
-            self._resolve_pending_first()
+            # engine TTFT). Only when no OTHER slot is mid-decode — then the
+            # stall costs nothing (the device would idle through the fetch
+            # anyway) and one-token requests free their slot before a chunk
+            # wastes decode on them. With other streams running, the fetch
+            # rides after the chunk as before (aggregate throughput keeps
+            # its one-chunk-deep pipeline; TTFT pays <= one chunk).
+            pending_slots = {s for _, s, _ in self._pending_first}
+            others_decoding = any(
+                r is not None and r.pf is None and s not in pending_slots
+                for s, r in enumerate(self._slots)
+            )
+            if not others_decoding:
+                self._resolve_pending_first()
         # the slots THIS chunk decodes: mid-prefill rows are captured as None
         # (inactive in the device state at dispatch time, they emit pads —
         # even if their prefill completes during the overlap zone below)
