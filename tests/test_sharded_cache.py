@@ -36,6 +36,8 @@ def _decode_ref(q_steps, k_steps, v_steps, k0, v0, start):
     return outs
 
 
+@pytest.mark.slow  # 50+ s/param on this box; the wired-path equivalents
+# (test_sharded_cache_wired.py) keep smoke-tier coverage of this feature
 @pytest.mark.parametrize("hkv", [4, 2, 1])
 def test_sharded_cache_decode_matches_dense(hkv):
     b, t, h, d, start, steps = 2, 32, 4, 16, 10, 5
