@@ -1353,8 +1353,8 @@ HOST_ONLY = {"preprocess"}
 PHASE_ORDER = (
     "decode", "encode", "e2e", "preprocess", "decode_bs8", "decode_bs16",
     "decode_bs32", "decode_int4", "ttft_prefix", "serve", "train",
-    "decode_spec", "encode_pipeline", "train_bf16", "eval",
-    "ttft_int8act", "ttft_turn2", "ttft_prefix_curve",
+    "decode_spec", "ttft_int8act", "ttft_turn2", "encode_pipeline",
+    "train_bf16", "eval", "ttft_prefix_curve",
 )
 
 # Conservative warm-cache wall-clock estimates per phase (seconds), assuming
