@@ -1625,6 +1625,7 @@ EXTRA_SPEC = (
     ("encode_sustained_fps_hostpre", "encode_sustained_fps_hostpre", "encode_pipeline", 1),
     ("encode_sustained_fps_devicepre", "encode_sustained_fps_devicepre", "encode_pipeline", 1),
     ("encode_sustained_fps_linkopt", "encode_sustained_fps_linkopt", "encode_pipeline", 1),
+    ("encode_frames_per_sec_deviceonly", "encode_frames_per_sec_deviceonly", "encode_pipeline", 1),
     ("h2d_mbps", "h2d_mbps", "encode_pipeline", 1),
     ("encode_sustained_vs_deviceonly", "encode_sustained_vs_deviceonly", "encode_pipeline", 2),
     ("eval_examples_per_sec_bs8", "eval_examples_per_sec_bs8", "eval", 2),

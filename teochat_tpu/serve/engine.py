@@ -778,7 +778,10 @@ class BatchEngine:
                 r is not None and r.pf is None and s not in pending_slots
                 for s, r in enumerate(self._slots)
             )
-            if not others_decoding:
+            # >1 pending = an admission storm (batch benchmark, cold start):
+            # those callers measure aggregate throughput, not TTFT — keep the
+            # dispatch-first pipeline for them
+            if not others_decoding and len(self._pending_first) == 1:
                 self._resolve_pending_first()
         # the slots THIS chunk decodes: mid-prefill rows are captured as None
         # (inactive in the device state at dispatch time, they emit pads —
