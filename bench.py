@@ -345,12 +345,14 @@ def _measure_hbm_peak_gbps():
 
     # two-point slope removes the fixed dispatch+fetch round-trip (~40 ms on
     # this tunnel — same order as the streamed bytes themselves, so a single
-    # absolute timing under-reads by ~30%)
-    run(1), run(4)  # compile both
-    t1 = sorted(run(1) for _ in range(3))[1]
-    t4 = sorted(run(4) for _ in range(3))[1]
+    # absolute timing under-reads by ~30%). reps (2, 8): the 26 GB delta
+    # keeps the slope ~36 ms, well above the few-ms tunnel jitter that made
+    # a (1, 4) spread swing 720 -> 1022 GB/s between runs
+    run(2), run(8)  # compile both
+    t2 = sorted(run(2) for _ in range(5))[2]
+    t8 = sorted(run(8) for _ in range(5))[2]
     del ws
-    return 3 * k * 2 * n * n / max(t4 - t1, 1e-9) / 1e9
+    return 6 * k * 2 * n * n / max(t8 - t2, 1e-9) / 1e9
 
 
 def _roofline_keys(tok_s: float, weight_bytes: int, kv_bytes: float,
