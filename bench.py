@@ -890,7 +890,10 @@ def _train_mfu(cfg, tok_s: float, seq: int, peak_tflops: float,
     P). Attention adds 12*L*h*T_avg (score+context, fwd+bwd)."""
     p = _llm_matmul_params(cfg)
     factor = 6 if full_finetune else 4
-    att = (2 * factor) * cfg.num_layers * cfg.num_heads * cfg.head_dim * (seq / 2)
+    # attention backward (dQ/dK/dV through the scores) runs in FULL in both
+    # modes — frozen weights don't shrink it — so the 12x term is
+    # mode-independent (the weight-grad factor only scales the projections)
+    att = 12 * cfg.num_layers * cfg.num_heads * cfg.head_dim * (seq / 2)
     return tok_s * (factor * p + att) / (peak_tflops * 1e12)
 
 
@@ -938,7 +941,7 @@ def phase_ttft_prefix_curve():
     a plain prefill? With the FUSED hit program (one dispatch: row copy +
     suffix prefill + sample) a hit saves device prefill compute at every
     length, so the crossover sits at the dispatch floor; the engine's
-    prefix_min_tokens (default 16) bypasses the pool below it."""
+    prefix_min_tokens (default 256) bypasses the pool below it."""
     import gc
 
     import jax
@@ -1529,7 +1532,12 @@ def _run_phases_streamed(names, t_start, timings, results, statuses, errors,
             remaining_wall = (DEADLINE_S - (time.perf_counter() - t_start)
                               - FINAL_MARGIN_S)
             est = 1.2 * timings.get(name, PHASE_EST_S.get(name, 60))
-            cap = min(max(2.5 * est, 120.0), remaining_wall)
+            # floor 240 s (overridable): warm estimates don't cover a
+            # .jax_cache miss, and uncached 7B compiles through the tunnel
+            # take minutes — killing the child mid-compile both fails the
+            # phase AND wedges the single-client tunnel for the rest
+            floor = float(os.environ.get("BENCH_PHASE_MIN_BUDGET", "240"))
+            cap = min(max(2.5 * est, floor), remaining_wall)
             if cap < min(est, 30):
                 _log(f"deadline: skipping {name} ({remaining_wall:.0f}s left)")
                 reader.kill()

@@ -1166,6 +1166,11 @@ class BatchEngine:
         if use_spec and self.adaptive_spec and not self._spec_on:
             self._spec_probe_in -= 1
             use_spec = self._spec_probe_in <= 0  # probe chunk re-measures
+            if use_spec:
+                # re-arm at DISPATCH: the depth-1 pipeline dispatches the
+                # NEXT chunk before this probe's verdict applies, so an
+                # apply-time-only reset would fire two probes per window
+                self._spec_probe_in = self.spec_probe_every
         if use_spec:
             toks3, counts, self.cache, self._state = _decode_chunk_spec(
                 self.model.params["llm"], self.cache, self._state, cfg.llm,

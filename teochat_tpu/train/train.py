@@ -210,7 +210,14 @@ def _wandb_writer(output_dir: str):
         def close(self):
             wandb.finish()
 
-    return _W()
+    try:
+        return _W()
+    except Exception as e:  # noqa: BLE001 — auth/network failure at init:
+        # the degrade-to-console contract covers a PRESENT but unusable
+        # wandb (no API key, no egress) too, not just a missing package
+        rank0_print(f"wandb.init failed ({type(e).__name__}: {e}); "
+                    "falling back to console logging")
+        return None
 
 
 def train(

@@ -293,10 +293,23 @@ def test_pipeline_parallel_training_run(tmp_path):
     assert saved.get("llm", {}).get("pipeline_axis") is None
 
 
-def test_wandb_writer_degrades_without_wandb():
+def test_wandb_writer_degrades_without_wandb(monkeypatch):
     """report_to=wandb must degrade to console logging (writer None) when
-    wandb is absent from the image — never fail the run (reference
-    train.py:925-928 wires wandb through HF Trainer)."""
+    wandb is absent OR unusable — never fail the run (reference
+    train.py:925-928 wires wandb through HF Trainer). wandb absence is
+    forced via sys.modules so the test holds even on a box where wandb IS
+    installed (a None entry makes `import wandb` raise ImportError)."""
+    import sys
+
     from teochat_tpu.train.train import _wandb_writer
 
+    monkeypatch.setitem(sys.modules, "wandb", None)
+    assert _wandb_writer("/tmp/does-not-matter") is None
+
+    class _BrokenWandb:
+        @staticmethod
+        def init(**kwargs):
+            raise RuntimeError("no API key / no egress")
+
+    monkeypatch.setitem(sys.modules, "wandb", _BrokenWandb())
     assert _wandb_writer("/tmp/does-not-matter") is None
