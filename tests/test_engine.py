@@ -575,3 +575,33 @@ def test_adaptive_spec_outputs_exact(model):
     finally:
         spec.shutdown()
     assert got == want
+
+
+def test_adaptive_spec_probe_rearms_at_dispatch():
+    """A fired probe re-arms the countdown immediately (dispatch time): the
+    depth-1 chunk pipeline dispatches the NEXT chunk before the probe's
+    verdict lands, so an apply-time-only reset would fire two spec chunks
+    per window on exactly the low-acceptance workloads adaptivity guards."""
+    engine = BatchEngine.__new__(BatchEngine)
+    engine.speculative_k = 4
+    engine.adaptive_spec = True
+    engine.spec_disable_below = 1.3
+    engine.spec_probe_every = 3
+    engine._spec_ema = None
+    engine._spec_on = False
+    engine._spec_probe_in = 1
+    engine.stats = {}
+
+    # simulate _dispatch_chunk's controller head without device work
+    def would_use_spec():
+        engine._spec_probe_in -= 1
+        fire = engine._spec_probe_in <= 0
+        if fire:
+            engine._spec_probe_in = engine.spec_probe_every
+        return fire
+
+    assert would_use_spec()          # countdown hit zero: probe fires
+    assert engine._spec_probe_in == 3
+    assert not would_use_spec()      # pipelined next chunk: NOT a probe
+    assert not would_use_spec()
+    assert would_use_spec()          # window elapsed: next probe
